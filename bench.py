@@ -1,0 +1,109 @@
+"""Benchmark: tracking frames/sec on one chip vs the reference baseline.
+
+Run by the driver on real TPU hardware; prints ONE JSON line.
+Baseline: the reference runs tracking at camera rate on an i7 — 30 fps on
+TUM workloads (BASELINE.md 'real-time operation claim'); the rebuild
+target is >=5x per chip.
+
+The benchmark times the full per-frame hot path on device: ORB extraction
+(pyramid/FAST/orient/BRIEF) + guided matching + two pose optimizations,
+at the reference TUM workload size (640x480, 1000 features, 8 levels).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+import numpy as np
+
+BASELINE_FPS = 30.0  # reference: tracking at TUM camera rate on i7
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from orbslam2_with_quadrics_tpu.models import frontend as fe
+    from orbslam2_with_quadrics_tpu.models import map_state as ms
+    from orbslam2_with_quadrics_tpu.models import tracking as tr
+    from orbslam2_with_quadrics_tpu.ops import camera, lie
+
+    H, W, NFEAT, NLEV = 480, 640, 1024, 8
+    NPTS, NKF = 8192, 64
+
+    cfg = fe.FrontendConfig(
+        height=H, width=W, n_features=NFEAT, n_levels=NLEV,
+        fx=520.9, fy=521.0, cx=325.1, cy=249.7,
+    )
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(H, W).astype(np.float32) * 255.0)
+
+    # synthetic populated map for the tracking stage
+    mcfg = ms.MapConfig(
+        max_keyframes=NKF, max_points=NPTS, n_features=NFEAT, n_levels=NLEV
+    )
+    m = ms.empty_map(mcfg)
+    key = jax.random.PRNGKey(0)
+    pts = jax.random.uniform(
+        key, (NPTS, 3),
+        minval=jnp.asarray([-3.0, -2.0, 2.0]), maxval=jnp.asarray([3.0, 2.0, 10.0]),
+    )
+    desc = jax.random.randint(key, (NPTS, 8), 0, 2**31 - 1, dtype=jnp.int32).astype(
+        jnp.uint32
+    )
+    obs0 = jnp.arange(NFEAT, dtype=jnp.int32)
+    m = m._replace(
+        pt_pos=pts, pt_valid=jnp.ones((NPTS,), bool), pt_desc=desc,
+        pt_max_dist=jnp.full((NPTS,), 100.0),
+        pt_normal=jnp.tile(jnp.asarray([0.0, 0.0, -1.0]), (NPTS, 1)),
+        n_pt=jnp.asarray(NPTS, jnp.int32),
+        kf_valid=jnp.zeros((NKF,), bool).at[:8].set(True),
+        kf_kp_valid=m.kf_kp_valid.at[:8].set(True),
+        kf_obs_point=m.kf_obs_point.at[:8].set(
+            (jnp.arange(NFEAT)[None, :] + 13 * jnp.arange(8)[:, None]) % NPTS
+        ),
+        n_kf=jnp.asarray(8, jnp.int32),
+    )
+    T = lie.se3_identity()
+    prev_obs = obs0
+
+    def frame_step(m, img, T, prev_obs):
+        feats = fe.extract_mono(cfg, img)
+        res = tr.track_frame(
+            m, feats, T, prev_obs, cfg.K, jnp.asarray(0.0),
+            height=H, width=W, n_levels=NLEV,
+            n_local_kf=NKF, n_local_pt=4096,
+        )
+        return res.T_cw, res.obs_point, res.n_inliers
+
+    step = jax.jit(frame_step)
+    # warmup / compile
+    out = step(m, img, T, prev_obs)
+    jax.block_until_ready(out)
+
+    n_it = 50
+    t0 = time.perf_counter()
+    for _ in range(n_it):
+        out = step(m, img, out[0], prev_obs)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    fps = n_it / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "tracking_fps_per_chip",
+                "value": round(fps, 2),
+                "unit": "frames/sec",
+                "vs_baseline": round(fps / BASELINE_FPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

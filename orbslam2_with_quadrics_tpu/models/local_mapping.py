@@ -1,0 +1,387 @@
+"""Keyframe-rate mapping: triangulate, fuse, cull, local BA.
+
+TPU-native rebuild of the LocalMapping thread's pipeline
+(reference src/LocalMapping.cc:47-112): each stage is a pure jitted
+function MapState -> MapState; the host orchestrator calls them in the
+same order the reference's thread loop does (ProcessNewKeyFrame ->
+MapPointCulling -> CreateNewMapPoints -> SearchInNeighbors -> LocalBA ->
+KeyFrameCulling).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import ba, camera, lie, matching, orb
+from . import map_state as ms
+
+
+def _relative_fundamental(T1w, T2w, Kc):
+    """F21 with x2^T F21 x1 = 0 (ComputeF12, src/LocalMapping.cc:536-554)."""
+    T21 = lie.se3_compose(T2w, lie.se3_inverse(T1w))
+    R = lie.quat_to_matrix(T21[:4])
+    t = T21[4:7]
+    E = lie.hat(t) @ R
+    fx, fy, cx, cy = Kc[0], Kc[1], Kc[2], Kc[3]
+    Km = jnp.asarray([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
+    Kinv = jnp.linalg.inv(Km)
+    return Kinv.T @ E @ Kinv
+
+
+def _epipolar_dist2(F21, uv1, uv2):
+    """Squared point-line distance of uv2 to the epipolar line of uv1
+    (CheckDistEpipolarLine, src/ORBmatcher.cc:140-157)."""
+    a = F21[0, 0] * uv1[:, 0] + F21[0, 1] * uv1[:, 1] + F21[0, 2]
+    b = F21[1, 0] * uv1[:, 0] + F21[1, 1] * uv1[:, 1] + F21[1, 2]
+    c = F21[2, 0] * uv1[:, 0] + F21[2, 1] * uv1[:, 1] + F21[2, 2]
+    num = a[:, None] * uv2[None, :, 0] + b[:, None] * uv2[None, :, 1] + c[:, None]
+    den = jnp.maximum(a * a + b * b, 1e-12)
+    return num * num / den[:, None]
+
+
+@partial(jax.jit, static_argnames=("n_neighbors", "n_levels", "scale"))
+def create_new_points(
+    m: ms.MapState,
+    kf_id,
+    Kc,
+    bf,
+    n_neighbors: int = 10,
+    n_levels: int = 8,
+    scale: float = 1.2,
+):
+    """Triangulate new map points between the newest keyframe and its
+    covisible neighbors (CreateNewMapPoints, src/LocalMapping.cc:207-452).
+
+    Per neighbor: epipolar-gated descriptor match on *unmatched* keypoints,
+    then DLT triangulation + cheirality/reprojection/scale checks; the best
+    neighbor (min Hamming) wins per keypoint; survivors are appended to the
+    point pool and wired into both keyframes' observation rows.
+    """
+    K, N = m.kf_obs_point.shape
+    P = m.pt_pos.shape[0]
+    sf, sigma2_tab, _ = orb.scale_factors(n_levels, scale)
+
+    W = ms.covisibility(m)
+    n_nb = min(n_neighbors, K)
+    nb_w, nb_ids = jax.lax.top_k(W[kf_id], n_nb)
+    nb_ok = nb_w > 0
+
+    T1 = m.kf_pose[kf_id]
+    uv1 = m.kf_uv[kf_id]
+    d1 = m.kf_desc[kf_id]
+    lvl1 = m.kf_level[kf_id]
+    free1 = m.kf_kp_valid[kf_id] & (m.kf_obs_point[kf_id] < 0)
+    c1 = -lie.quat_rotate(lie.quat_conj(T1[:4]), T1[4:7])
+
+    def per_neighbor(nb, ok_nb):
+        T2 = m.kf_pose[nb]
+        uv2 = m.kf_uv[nb]
+        free2 = m.kf_kp_valid[nb] & (m.kf_obs_point[nb] < 0)
+        F21 = _relative_fundamental(T1, T2, Kc)
+        # epipolar gate in the *neighbor* image at the kp's octave sigma
+        ed2 = _epipolar_dist2(F21, uv1, uv2)
+        gate = 3.84 * sigma2_tab[jnp.clip(m.kf_level[nb], 0, n_levels - 1)]
+        mask = free1[:, None] & free2[None, :] & (ed2 < gate[None, :]) & ok_nb
+
+        # baseline check: skip neighbor if baseline/median-depth tiny
+        # (src/LocalMapping.cc:232-252) — proxy: baseline > 1cm
+        c2 = -lie.quat_rotate(lie.quat_conj(T2[:4]), T2[4:7])
+        baseline_ok = jnp.linalg.norm(c2 - c1) > 0.01
+        mask = mask & baseline_ok
+
+        dist = matching.hamming_matrix(d1, m.kf_desc[nb])
+        bi, bd, b2 = matching.best_two(dist, mask)
+        okm = (bd <= matching.TH_LOW) & (
+            bd.astype(jnp.float32) <= 0.9 * b2.astype(jnp.float32)
+        )
+        return jnp.where(okm, bi, -1), jnp.where(okm, bd, 1 << 20)
+
+    nb_match, nb_dist = jax.vmap(per_neighbor)(nb_ids, nb_ok)  # [T,N]
+
+    # choose best neighbor per keypoint
+    tbest = jnp.argmin(nb_dist, axis=0)  # [N]
+    rows = jnp.arange(N)
+    match_kp = nb_match[tbest, rows]          # [N] kp idx in chosen neighbor
+    match_nb = nb_ids[tbest]                  # [N] neighbor kf id
+    have = match_kp >= 0
+
+    # triangulate
+    T2s = m.kf_pose[match_nb]
+    P1 = camera.projection_matrix(T1, Kc)
+    P2s = jax.vmap(camera.projection_matrix, in_axes=(0, None))(T2s, Kc)
+    uv2m = m.kf_uv[match_nb, jnp.clip(match_kp, 0, N - 1)]
+    X = jax.vmap(camera.triangulate_dlt, in_axes=(None, 0, 0, 0))(
+        P1, P2s, uv1, uv2m
+    )
+
+    # checks (src/LocalMapping.cc:299-431)
+    pc1 = lie.se3_apply(T1, X)
+    pc2 = jax.vmap(lie.se3_apply)(T2s, X)
+    uv1p, z1 = camera.project(Kc, pc1)
+    uv2p, z2 = camera.project(Kc, pc2)
+    s2_1 = sigma2_tab[jnp.clip(lvl1, 0, n_levels - 1)]
+    lvl2 = m.kf_level[match_nb, jnp.clip(match_kp, 0, N - 1)]
+    s2_2 = sigma2_tab[jnp.clip(lvl2, 0, n_levels - 1)]
+    e1 = jnp.sum((uv1p - uv1) ** 2, axis=-1) / s2_1
+    e2 = jnp.sum((uv2p - uv2m) ** 2, axis=-1) / s2_2
+
+    c2s = -jax.vmap(lambda T: lie.quat_rotate(lie.quat_conj(T[:4]), T[4:7]))(T2s)
+    r1 = X - c1[None, :]
+    r2 = X - c2s
+    n1 = jnp.linalg.norm(r1, axis=-1)
+    n2 = jnp.linalg.norm(r2, axis=-1)
+    cosp = jnp.sum(r1 * r2, axis=-1) / jnp.maximum(n1 * n2, 1e-12)
+    # scale consistency: distance ratio vs octave ratio (src/LocalMapping.cc:410-427)
+    ratio_d = n1 / jnp.maximum(n2, 1e-9)
+    ratio_o = sf[jnp.clip(lvl1, 0, n_levels - 1)] / sf[jnp.clip(lvl2, 0, n_levels - 1)]
+    scale_ok = (ratio_d < ratio_o * 1.5 * scale) & (ratio_d > ratio_o / (1.5 * scale))
+
+    good = (
+        have
+        & (z1 > 0.05)
+        & (z2 > 0.05)
+        & (cosp < 0.9998)
+        & (e1 < 5.991)
+        & (e2 < 5.991)
+        & scale_ok
+        & jnp.all(jnp.isfinite(X), axis=-1)
+    )
+
+    m2, pids = ms.insert_points(
+        m, X, d1, jnp.full((N,), kf_id, jnp.int32), good
+    )
+
+    # wire observations into both keyframes
+    obs_row1 = m2.kf_obs_point[kf_id]
+    obs_row1 = jnp.where(pids >= 0, pids, obs_row1)
+    kf_obs = m2.kf_obs_point.at[kf_id].set(obs_row1)
+    # neighbor rows: scatter per (match_nb, match_kp)
+    flat = kf_obs.reshape(-1)
+    tgt = match_nb * N + jnp.clip(match_kp, 0, N - 1)
+    flat = flat.at[jnp.where(pids >= 0, tgt, K * N)].set(
+        jnp.where(pids >= 0, pids, -1), mode="drop"
+    )
+    m2 = m2._replace(kf_obs_point=flat.reshape(K, N))
+    return m2, jnp.sum((pids >= 0).astype(jnp.int32))
+
+
+@jax.jit
+def cull_points(m: ms.MapState):
+    """MapPointCulling (src/LocalMapping.cc:170-205): drop points with a
+    poor found/visible ratio or too few observations soon after creation."""
+    obs_cnt = ms.point_obs_count(m)
+    age = m.n_kf - 1 - m.pt_first_kf  # keyframes since creation
+    ratio = m.pt_found.astype(jnp.float32) / jnp.maximum(
+        m.pt_visible.astype(jnp.float32), 1.0
+    )
+    bad = (ratio < 0.25) & (m.pt_visible > 3)
+    bad = bad | ((age >= 2) & (age <= 4) & (obs_cnt <= 2))
+    valid = m.pt_valid & ~bad
+    # detach culled points from keyframes
+    P = m.pt_pos.shape[0]
+    obs = m.kf_obs_point
+    obs_ok = (obs >= 0) & valid[jnp.clip(obs, 0, P - 1)]
+    return m._replace(
+        pt_valid=valid, kf_obs_point=jnp.where(obs_ok, obs, -1)
+    )
+
+
+@partial(jax.jit, static_argnames=("n_neighbors", "n_levels", "scale"))
+def fuse_neighbors(
+    m: ms.MapState,
+    kf_id,
+    Kc,
+    height: int = 480,
+    width: int = 640,
+    n_neighbors: int = 10,
+    n_levels: int = 8,
+    scale: float = 1.2,
+):
+    """SearchInNeighbors / ORBmatcher::Fuse (src/LocalMapping.cc:454-534,
+    src/ORBmatcher.cc:825-975): project the new keyframe's points into its
+    neighbors; where a projection lands on a keypoint that already has a
+    different point, merge (keep the more-observed one); where it lands on
+    a free keypoint, add the observation."""
+    K, N = m.kf_obs_point.shape
+    P = m.pt_pos.shape[0]
+    sf, sigma2_tab, _ = orb.scale_factors(n_levels, scale)
+
+    W = ms.covisibility(m)
+    n_nb = min(n_neighbors, K)
+    nb_w, nb_ids = jax.lax.top_k(W[kf_id], n_nb)
+    nb_ok = nb_w > 0
+
+    src_pts = m.kf_obs_point[kf_id]  # [N] point ids of the new KF
+    src_ok = src_pts >= 0
+    pid = jnp.clip(src_pts, 0, P - 1)
+    pos = m.pt_pos[pid]
+    desc = m.pt_desc[pid]
+    obs_cnt = ms.point_obs_count(m)
+
+    def per_neighbor(nb, ok_nb, carry):
+        remap, obs_flat = carry
+        T2 = m.kf_pose[nb]
+        uv_p, z = camera.project(Kc, lie.se3_apply(T2, pos))
+        vis = (
+            src_ok
+            & ok_nb
+            & (z > 0.05)
+            & (uv_p[:, 0] >= 0) & (uv_p[:, 0] < width)
+            & (uv_p[:, 1] >= 0) & (uv_p[:, 1] < height)
+        )
+        mi, md = matching.match_by_projection(
+            proj_uv=uv_p,
+            proj_valid=vis,
+            pred_level=m.kf_level[kf_id],
+            query_desc=desc,
+            query_angle=jnp.zeros((N,)),
+            feats_uv=m.kf_uv[nb],
+            feats_level=m.kf_level[nb],
+            feats_desc=m.kf_desc[nb],
+            feats_angle=m.kf_angle[nb],
+            feats_valid=m.kf_kp_valid[nb],
+            radius=3.0,
+            scale_factors=sf,
+            th=matching.TH_LOW,
+            ratio=1.0,
+        )
+        hit = mi >= 0
+        tgt_kp = jnp.clip(mi, 0, N - 1)
+        existing = obs_flat[nb * N + tgt_kp]  # current point at that kp
+        # case 1: free keypoint -> add observation
+        add = hit & (existing < 0)
+        obs_flat = obs_flat.at[
+            jnp.where(add, nb * N + tgt_kp, K * N)
+        ].set(jnp.where(add, src_pts, -1), mode="drop")
+        # case 2: occupied by another point -> merge into more-observed
+        dup = hit & (existing >= 0) & (existing != src_pts)
+        keep_src = obs_cnt[pid] >= obs_cnt[jnp.clip(existing, 0, P - 1)]
+        loser = jnp.where(keep_src, existing, src_pts)
+        winner = jnp.where(keep_src, src_pts, existing)
+        remap = remap.at[jnp.where(dup, jnp.clip(loser, 0, P - 1), P)].set(
+            jnp.where(dup, winner, 0), mode="drop"
+        )
+        return remap, obs_flat
+
+    remap = jnp.arange(P, dtype=jnp.int32)
+    obs_flat = m.kf_obs_point.reshape(-1)
+    for i in range(n_nb):
+        remap, obs_flat = per_neighbor(nb_ids[i], nb_ok[i], (remap, obs_flat))
+
+    # apply merges: remap the whole observation table, invalidate losers
+    lost = remap != jnp.arange(P, dtype=jnp.int32)
+    obs = obs_flat.reshape(K, N)
+    obs = jnp.where(obs >= 0, remap[jnp.clip(obs, 0, P - 1)], obs)
+    pt_valid = m.pt_valid & ~lost
+    obs_ok = (obs >= 0) & pt_valid[jnp.clip(obs, 0, P - 1)]
+    return m._replace(
+        kf_obs_point=jnp.where(obs_ok, obs, -1), pt_valid=pt_valid
+    )
+
+
+@jax.jit
+def cull_keyframes(m: ms.MapState, kf_id):
+    """KeyFrameCulling (src/LocalMapping.cc:632-696): a covisible keyframe
+    is redundant if >=90% of its points are observed by >=3 other KFs."""
+    K, N = m.kf_obs_point.shape
+    P = m.pt_pos.shape[0]
+    obs_cnt = ms.point_obs_count(m)
+    W = ms.covisibility(m)
+    cand = (W[kf_id] > 0) & m.kf_valid
+    # never cull slot 0 (gauge origin) or the newest two keyframes
+    cand = cand & (jnp.arange(K) != 0) & (jnp.arange(K) < m.n_kf - 2)
+
+    obs = m.kf_obs_point
+    has = (obs >= 0) & m.kf_kp_valid
+    redundant_obs = has & (obs_cnt[jnp.clip(obs, 0, P - 1)] >= 4)
+    n_has = jnp.sum(has, axis=1)
+    n_red = jnp.sum(redundant_obs, axis=1)
+    redundant = cand & (
+        n_red.astype(jnp.float32) >= 0.9 * jnp.maximum(n_has, 1).astype(jnp.float32)
+    )
+    # cull at most one per call (like the sequential reference, keeps the
+    # covisibility recomputation honest)
+    first = jnp.argmax(redundant)
+    do = redundant[first]
+    kf_valid = m.kf_valid.at[first].set(jnp.where(do, False, m.kf_valid[first]))
+    row = jnp.where(do, jnp.full((N,), -1, jnp.int32), obs[first])
+    return m._replace(
+        kf_valid=kf_valid, kf_obs_point=obs.at[first].set(row)
+    )
+
+
+@partial(jax.jit, static_argnames=("window", "n_iters"))
+def run_local_ba(m: ms.MapState, kf_id, Kc, bf, inv_sigma2_tab, window: int = 16,
+                 n_iters: int = 10):
+    """Local BA over the covisibility window of ``kf_id``
+    (Optimizer::LocalBundleAdjustment, src/Optimizer.cc:453-778).
+
+    All keyframes enter as cameras; only the covisibility window is free
+    (everything else is the reference's 'fixed boundary'); only points
+    observed by the window are free. Edge list = the full [K,N] obs table.
+    """
+    K, N = m.kf_obs_point.shape
+    P = m.pt_pos.shape[0]
+
+    W = ms.covisibility(m)
+    n_w = min(window, K)
+    w_w, w_ids = jax.lax.top_k(W[kf_id], n_w)
+    in_window = jnp.zeros((K,), bool).at[w_ids].set(w_w > 0).at[kf_id].set(True)
+    in_window = in_window & m.kf_valid
+    # gauge: keyframe 0 always fixed (src/Optimizer.cc:79,506)
+    fixed_cam = (~in_window) | (jnp.arange(K) == 0)
+
+    obs = m.kf_obs_point
+    okobs = (obs >= 0) & m.kf_kp_valid & m.kf_valid[:, None]
+    pnt = jnp.clip(obs, 0, P - 1)
+    okobs = okobs & m.pt_valid[pnt.reshape(-1)].reshape(K, N)
+
+    # free points = observed by a window keyframe
+    seen = jnp.zeros((P + 1,), bool)
+    seen = seen.at[
+        jnp.where(okobs & in_window[:, None], obs, P).reshape(-1)
+    ].set(True)[:P]
+    fixed_pnt = ~seen
+
+    cam_idx = jnp.broadcast_to(
+        jnp.arange(K, dtype=jnp.int32)[:, None], (K, N)
+    ).reshape(-1)
+    uvr = jnp.concatenate(
+        [m.kf_uv, jnp.where(m.kf_ur > 0, m.kf_ur, 0.0)[..., None]], axis=-1
+    ).reshape(-1, 3)
+    is_stereo = (m.kf_ur > 0).reshape(-1).astype(jnp.float32)
+    inv_s2 = inv_sigma2_tab[
+        jnp.clip(m.kf_level, 0, inv_sigma2_tab.shape[0] - 1)
+    ].reshape(-1)
+
+    prob = ba.BAProblem(
+        poses=m.kf_pose,
+        points=m.pt_pos,
+        K=Kc,
+        bf=bf,
+        cam_idx=cam_idx,
+        pnt_idx=pnt.reshape(-1),
+        uvr=uvr,
+        is_stereo=is_stereo,
+        inv_sigma2=inv_s2,
+        valid=okobs.reshape(-1).astype(jnp.float32),
+        fixed_cam=fixed_cam.astype(jnp.float32),
+        fixed_pnt=fixed_pnt.astype(jnp.float32),
+    )
+    prob, _ = ba.ba_solve(prob, n_iters=5, cg_iters=30, use_huber=True)
+    _, inl = ba.edge_chi2(prob)
+    prob = prob._replace(valid=prob.valid * inl.astype(jnp.float32))
+    prob, cost = ba.ba_solve(prob, n_iters=n_iters, cg_iters=30, use_huber=False)
+
+    # write back + drop outlier observations (src/Optimizer.cc:746-777):
+    # final chi2 check over every originally-valid edge
+    _, inl2 = ba.edge_chi2(
+        prob._replace(valid=okobs.reshape(-1).astype(jnp.float32))
+    )
+    obs_new = jnp.where(okobs & ~inl2.reshape(K, N), -1, obs)
+    return m._replace(
+        kf_pose=prob.poses, pt_pos=prob.points, kf_obs_point=obs_new
+    ), cost

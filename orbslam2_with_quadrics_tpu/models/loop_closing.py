@@ -1,0 +1,241 @@
+"""Loop closing: BoW retrieval, Sim3 computation, graph correction.
+
+TPU-native rebuild of ``LoopClosing`` + ``KeyFrameDatabase``
+(reference src/LoopClosing.cc, src/KeyFrameDatabase.cc): the inverted
+file becomes a dense [K, V] BoW matrix scored in one vectorized sweep;
+loop geometric verification is the vmapped Horn/Sim3 RANSAC
+(ops/sim3solver.py); the essential graph solve is ops/pose_graph.py.
+The 3-consecutive-keyframe consistency check
+(src/LoopClosing.cc:152-211) is host-side bookkeeping over tiny sets.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import lie, orb, pose_graph, sim3solver, vocab
+from . import map_state as ms
+
+
+@partial(jax.jit, static_argnames=())
+def score_database(bow_mat, query_bow, kf_valid):
+    """L1 similarity of the query against every keyframe's BoW vector +
+    common-word counts (KeyFrameDatabase::DetectLoopCandidates word pass,
+    src/KeyFrameDatabase.cc:83-144)."""
+    scores = 1.0 - 0.5 * jnp.sum(jnp.abs(bow_mat - query_bow[None, :]), axis=-1)
+    common = jnp.sum(
+        ((bow_mat > 0) & (query_bow > 0)[None, :]).astype(jnp.int32), axis=-1
+    )
+    scores = jnp.where(kf_valid, scores, -1.0)
+    common = jnp.where(kf_valid, common, 0)
+    return scores, common
+
+
+class LoopCloser:
+    """Host orchestrator for detection + correction."""
+
+    def __init__(self, voc: vocab.Vocabulary, map_cfg: ms.MapConfig):
+        self.voc = voc
+        K, N, V = map_cfg.max_keyframes, map_cfg.n_features, voc.n_words
+        self.bow = jnp.zeros((K, V), jnp.float32)
+        self.words = jnp.full((K, N), -1, jnp.int32)
+        self.consistency: list[tuple[set, int]] = []  # (group KFs, count)
+        self.covis_th = 3  # mnCovisibilityConsistencyTh (LoopClosing.cc:43)
+        self.last_loop_kf = -999
+
+    def add_keyframe(self, slot: int, desc, valid):
+        word, _ = vocab.transform(self.voc, desc, valid)
+        bv = vocab.bow_vector(word, self.voc.n_words, self.voc.idf)
+        self.bow = self.bow.at[slot].set(bv)
+        self.words = self.words.at[slot].set(word)
+
+    def detect(self, m: ms.MapState, slot: int) -> list[int]:
+        """DetectLoop (src/LoopClosing.cc:103-229): query the database,
+        gate by min covisible score, 0.8*max common words, and temporal
+        consistency over 3 consecutive keyframes."""
+        if int(m.n_kf) < 8 or slot - self.last_loop_kf < 10:
+            # reference ignores loops within 10 KFs of the last
+            # (LoopClosing.cc:110-115)
+            return []
+        W = np.asarray(ms.covisibility(m))
+        covis = W[slot] > 0
+        scores, common = score_database(
+            self.bow, self.bow[slot], m.kf_valid
+        )
+        scores = np.asarray(scores)
+        common = np.asarray(common)
+        # min score among covisible neighbors (LoopClosing.cc:121-138)
+        nb = np.where(covis & (np.arange(len(covis)) != slot))[0]
+        min_score = float(scores[nb].min()) if len(nb) else 0.5
+        # candidates: not covisible, not recent, enough common words
+        cand_mask = (
+            (~covis)
+            & (np.arange(len(scores)) != slot)
+            & (np.abs(np.arange(len(scores)) - slot) > 5)
+            & (scores >= max(min_score, 0.0))
+        )
+        if not cand_mask.any():
+            self.consistency = []
+            return []
+        max_common = common[cand_mask].max()
+        cand_mask &= common > 0.8 * max_common
+        cands = np.where(cand_mask)[0]
+        if len(cands) == 0:
+            self.consistency = []
+            return []
+
+        # consistency groups (LoopClosing.cc:152-211)
+        consistent_enough = []
+        new_groups = []
+        for c in cands:
+            group = set(np.where(W[c] > 0)[0].tolist()) | {int(c)}
+            best = 0
+            for prev_group, cnt in self.consistency:
+                if group & prev_group:
+                    best = max(best, cnt + 1)
+            new_groups.append((group, best))
+            if best >= self.covis_th:
+                consistent_enough.append(int(c))
+        self.consistency = new_groups
+        return consistent_enough
+
+    def attempt_close(
+        self, m: ms.MapState, slot: int, cand: int, Kc, n_levels=8, scale=1.2
+    ):
+        """ComputeSim3 + CorrectLoop (src/LoopClosing.cc:231-585).
+
+        Returns (new_map, ok). On success keyframe poses are pose-graph
+        corrected and points remapped.
+        """
+        N = m.kf_obs_point.shape[1]
+        P = m.pt_pos.shape[0]
+        _, sigma2_tab, _ = orb.scale_factors(n_levels, scale)
+
+        # 1. BoW matching between the two keyframes (>=20,
+        #    LoopClosing.cc:262-270)
+        mi, _ = vocab.match_by_words(
+            self.words[slot], m.kf_desc[slot], m.kf_kp_valid[slot],
+            self.words[cand], m.kf_desc[cand], m.kf_kp_valid[cand],
+        )
+        # keep pairs where both sides have map points
+        p_cur = m.kf_obs_point[slot]
+        p_cnd = m.kf_obs_point[cand, jnp.clip(mi, 0, N - 1)]
+        pair_ok = (mi >= 0) & (p_cur >= 0) & (p_cnd >= 0)
+        n_pairs = int(jnp.sum(pair_ok))
+        if n_pairs < 20:
+            return m, False
+
+        pts_cur_w = m.pt_pos[jnp.clip(p_cur, 0, P - 1)]
+        pts_cnd_w = m.pt_pos[jnp.clip(p_cnd, 0, P - 1)]
+        T_cur = m.kf_pose[slot]
+        T_cnd = m.kf_pose[cand]
+        p2 = lie.se3_apply(T_cur, pts_cur_w)   # current-camera coords
+        p1 = lie.se3_apply(T_cnd, pts_cnd_w)   # candidate-camera coords
+        uv2 = m.kf_uv[slot]
+        uv1 = m.kf_uv[cand, jnp.clip(mi, 0, N - 1)]
+        s2_2 = sigma2_tab[jnp.clip(m.kf_level[slot], 0, n_levels - 1)]
+        s2_1 = sigma2_tab[
+            jnp.clip(m.kf_level[cand, jnp.clip(mi, 0, N - 1)], 0, n_levels - 1)
+        ]
+
+        # 2. Horn RANSAC: S maps candidate-camera -> current-camera
+        S, inl, n_inl = sim3solver.ransac_sim3(
+            p1, p2, pair_ok, Kc, Kc, uv1, uv2, s2_1, s2_2,
+        )
+        if int(n_inl) < 20:
+            return m, False
+        # 3. LM polish (>=20 inliers, LoopClosing.cc:326-336)
+        S, inl, n_inl = sim3solver.optimize_sim3(
+            S, p1, p2, pair_ok & inl, Kc, Kc, uv1, uv2,
+            1.0 / jnp.maximum(s2_1, 1e-9), 1.0 / jnp.maximum(s2_2, 1e-9),
+        )
+        if int(n_inl) < 20:
+            return m, False
+
+        # 4. corrected current pose: S_cur_w = S_cur_cand * S_cand_w
+        S_cnd_w = lie.sim3_from_se3(T_cnd)
+        S_cur_w_corr = lie.sim3_compose(S, S_cnd_w)
+
+        m = self._correct_graph(m, slot, cand, S_cur_w_corr)
+        self.last_loop_kf = slot
+        return m, True
+
+    def _correct_graph(self, m: ms.MapState, slot, cand, S_cur_w_corr):
+        """Sim3 propagation + essential-graph optimization + point remap
+        (CorrectLoop src/LoopClosing.cc:402-585 +
+        OptimizeEssentialGraph src/Optimizer.cc:781-1044)."""
+        K = m.kf_valid.shape[0]
+        W = np.asarray(ms.covisibility(m))
+        kf_valid = np.asarray(m.kf_valid)
+
+        # initial Sim3 poses: corrected for the current covisible group,
+        # raw lift elsewhere (LoopClosing.cc:443-486)
+        S_all = jax.vmap(lie.sim3_from_se3)(m.kf_pose)  # [K,8]
+        T_cur = m.kf_pose[slot]
+        group = np.where((W[slot] > 0) & kf_valid)[0].tolist() + [slot]
+        S_old = S_all
+        corrected = np.zeros((K,), bool)
+        S_new_init = S_all
+        for g in group:
+            T_g_cur = lie.se3_compose(m.kf_pose[g], lie.se3_inverse(T_cur))
+            S_g_corr = lie.sim3_compose(
+                lie.sim3_from_se3(T_g_cur), S_cur_w_corr
+            )
+            S_new_init = S_new_init.at[g].set(S_g_corr)
+            corrected[g] = True
+
+        # edges: spanning tree + loop + strong covisibility
+        ei, ej, meas, w = [], [], [], []
+        parents = np.asarray(m.kf_parent)
+        for k in range(int(m.n_kf)):
+            if not kf_valid[k]:
+                continue
+            pk = parents[k]
+            if pk >= 0 and kf_valid[pk]:
+                ei.append(k)
+                ej.append(int(pk))
+                w.append(1.0)
+            for j in np.where(W[k] >= 100)[0]:
+                if j > k and kf_valid[j]:
+                    ei.append(k)
+                    ej.append(int(j))
+                    w.append(1.0)
+        ei.append(slot)
+        ej.append(cand)
+        w.append(5.0)  # the loop edge
+
+        ei_a = jnp.asarray(ei, jnp.int32)
+        ej_a = jnp.asarray(ej, jnp.int32)
+        w_a = jnp.asarray(w, jnp.float32)
+        # measurements from pre-correction poses, except the loop edge
+        # which uses the Sim3-corrected relative (Optimizer.cc:860-905)
+        meas = jax.vmap(
+            lambda i, j: lie.sim3_compose(S_old[j], lie.sim3_inverse(S_old[i]))
+        )(ei_a, ej_a)
+        loop_meas = lie.sim3_compose(
+            lie.sim3_from_se3(m.kf_pose[cand]), lie.sim3_inverse(S_cur_w_corr)
+        )
+        meas = meas.at[-1].set(loop_meas)
+
+        fixed = jnp.zeros((K,), jnp.float32).at[cand].set(1.0)
+        S_opt = pose_graph.optimize_pose_graph(
+            S_new_init, ei_a, ej_a, meas, w_a, fixed
+        )
+
+        # remap points through their first-observing keyframe's correction
+        # (Optimizer.cc:1010-1032): p' = S_new^-1 ( S_old (p) )
+        ref = jnp.clip(m.pt_first_kf, 0, K - 1)
+        S_o = S_old[ref]
+        S_n = S_opt[ref]
+        p_corr = jax.vmap(
+            lambda so, sn, p: lie.sim3_apply(lie.sim3_inverse(sn), lie.sim3_apply(so, p))
+        )(S_o, S_n, m.pt_pos)
+        pt_pos = jnp.where(m.pt_valid[:, None], p_corr, m.pt_pos)
+
+        kf_pose = jax.vmap(lie.sim3_to_se3)(S_opt)
+        kf_pose = jnp.where(m.kf_valid[:, None], kf_pose, m.kf_pose)
+        return m._replace(kf_pose=kf_pose, pt_pos=pt_pos)

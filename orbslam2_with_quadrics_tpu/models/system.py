@@ -1,0 +1,405 @@
+"""System facade: the full SLAM state machine.
+
+TPU-native rebuild of ``System`` + the Tracking state machine
+(reference src/System.cc, src/Tracking.cc:267-506). The reference's four
+mutex-coupled threads become a host orchestrator over jitted device
+functions operating on an immutable MapState snapshot; mapping work runs
+inline after keyframe insertion (async dispatch is a later optimization —
+JAX dispatch is already asynchronous, so extraction/tracking/mapping
+pipeline naturally on device).
+
+Sensor modes: MONOCULAR / STEREO / RGBD (reference include/System.h:66-70).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import init2view, lie, matching, orb
+from . import frontend as fe
+from . import local_mapping as lm
+from . import map_state as ms
+from . import tracking as tr
+
+
+@dataclasses.dataclass
+class SystemConfig:
+    frontend: fe.FrontendConfig
+    map: ms.MapConfig
+    sensor: str = "mono"            # mono | stereo | rgbd
+    min_frames_between_kf: int = 0
+    max_frames_between_kf: int = 30
+    kf_ref_ratio: float = 0.9       # (src/Tracking.cc:1027-1044 thRefRatio)
+    min_inliers_track: int = 30
+    min_inliers_kf: int = 15
+    local_ba_window: int = 16
+    depth_factor: float = 1.0       # RGB-D depth map scaling
+
+
+class System:
+    """Facade mirroring System::Track{Monocular,Stereo,RGBD}
+    (reference src/System.cc:116-268)."""
+
+    NOT_INITIALIZED = 0
+    OK = 1
+    LOST = 2
+
+    def __init__(self, cfg: SystemConfig):
+        self.cfg = cfg
+        self.map = ms.empty_map(cfg.map)
+        self.state = self.NOT_INITIALIZED
+        self.frame_id = 0
+        self.last_kf_frame = -999
+        self.ref_kf_matches = 0
+        self.velocity = lie.se3_identity()
+        self.T_cw = lie.se3_identity()
+        self.prev_obs = jnp.full((cfg.map.n_features,), -1, jnp.int32)
+        self.init_feats = None
+        self.init_frame_id = -1
+        self.trajectory = []  # (frame_id, timestamp, kf_slot, T_rel  np arrays)
+        self.ref_kf = 0
+        self.n_kfs_created = 0
+        _, _, self._inv_sigma2 = orb.scale_factors(
+            cfg.frontend.n_levels, cfg.frontend.scale_factor
+        )
+        self.metrics = []
+
+    # ------------------------------------------------------------------
+    # public per-frame entries
+    # ------------------------------------------------------------------
+
+    def track_monocular(self, img, timestamp=0.0):
+        feats = fe.extract_mono(self.cfg.frontend, jnp.asarray(img, jnp.float32))
+        return self._track(feats, timestamp)
+
+    def track_rgbd(self, img, depth, timestamp=0.0):
+        feats = fe.extract_rgbd(
+            self.cfg.frontend,
+            jnp.asarray(img, jnp.float32),
+            jnp.asarray(depth, jnp.float32) * self.cfg.depth_factor,
+        )
+        return self._track(feats, timestamp)
+
+    def track_stereo(self, img_l, img_r, timestamp=0.0):
+        feats = fe.extract_stereo(
+            self.cfg.frontend,
+            jnp.asarray(img_l, jnp.float32),
+            jnp.asarray(img_r, jnp.float32),
+        )
+        return self._track(feats, timestamp)
+
+    # ------------------------------------------------------------------
+
+    def _track(self, feats, timestamp):
+        cfg = self.cfg
+        if self.state == self.NOT_INITIALIZED:
+            if cfg.sensor == "mono":
+                self._mono_init(feats, timestamp)
+            else:
+                self._depth_init(feats, timestamp)
+            self.frame_id += 1
+            return self._record(timestamp)
+
+        # motion-model prediction (src/Tracking.cc:858-864)
+        T_pred = lie.se3_compose(self.velocity, self.T_cw)
+        res = tr.track_frame(
+            self.map,
+            feats,
+            T_pred,
+            self.prev_obs,
+            cfg.frontend.K,
+            jnp.asarray(cfg.frontend.bf),
+            height=cfg.frontend.height,
+            width=cfg.frontend.width,
+            n_levels=cfg.frontend.n_levels,
+            scale=cfg.frontend.scale_factor,
+        )
+        n_inl = int(res.n_inliers)
+        if n_inl < cfg.min_inliers_track:
+            # lost: keep predicting blindly this round (relocalization is
+            # wired in once the BoW database lands — reference
+            # src/Tracking.cc:1341)
+            self.state = self.LOST
+            self.velocity = lie.se3_identity()
+            self.frame_id += 1
+            self.metrics.append({"frame": self.frame_id, "inliers": n_inl, "lost": True})
+            return self._record(timestamp)
+
+        self.state = self.OK
+        new_T = res.T_cw
+        self.velocity = lie.se3_compose(new_T, lie.se3_inverse(self.T_cw))
+        self.T_cw = new_T
+        self.prev_obs = res.obs_point
+
+        # tracking statistics for point culling
+        self.map = _bump_stats(self.map, res.visible_pt, res.found_pt)
+
+        if self._need_new_keyframe(n_inl, feats):
+            self._insert_keyframe(feats, res)
+
+        self.frame_id += 1
+        self.metrics.append({"frame": self.frame_id, "inliers": n_inl, "lost": False})
+        return self._record(timestamp)
+
+    # ------------------------------------------------------------------
+
+    def _need_new_keyframe(self, n_inl, feats) -> bool:
+        """NeedNewKeyFrame (src/Tracking.cc:977-1061), synchronous-pipeline
+        subset: mapping never blocks us, so the 'idle' conditions are true."""
+        cfg = self.cfg
+        since = self.frame_id - self.last_kf_frame
+        if self.map.n_kf >= cfg.map.max_keyframes:
+            return False
+        if n_inl < cfg.min_inliers_kf:
+            return False
+        c1a = since >= cfg.max_frames_between_kf
+        c2 = (n_inl < cfg.kf_ref_ratio * max(self.ref_kf_matches, 1)) and (
+            since >= cfg.min_frames_between_kf
+        )
+        return bool(c1a or c2)
+
+    def _insert_keyframe(self, feats, res: tr.TrackResult):
+        cfg = self.cfg
+        parent = jnp.asarray(self.ref_kf, jnp.int32)
+        self.map, slot = ms.insert_keyframe(
+            self.map,
+            self.T_cw,
+            jnp.asarray(self.frame_id, jnp.int32),
+            feats.uv_und,
+            feats.ur,
+            feats.level,
+            feats.angle,
+            feats.desc,
+            feats.valid,
+            res.obs_point,
+            parent,
+        )
+        slot = int(slot)
+        self.ref_kf = slot
+        self.ref_kf_matches = int(res.n_inliers)
+        self.last_kf_frame = self.frame_id
+        self.n_kfs_created += 1
+
+        if cfg.sensor in ("stereo", "rgbd"):
+            self.map = _create_depth_points(
+                self.map, slot, feats, cfg.frontend.K, cfg.frontend.bf,
+                cfg.frontend.depth_th,
+            )
+
+        # --- local mapping pipeline (reference LocalMapping::Run order) ---
+        self.map = lm.cull_points(self.map)
+        self.map, n_new = lm.create_new_points(
+            self.map, jnp.asarray(slot), cfg.frontend.K,
+            jnp.asarray(cfg.frontend.bf),
+            n_levels=cfg.frontend.n_levels, scale=cfg.frontend.scale_factor,
+        )
+        self.map = lm.fuse_neighbors(
+            self.map, jnp.asarray(slot), cfg.frontend.K,
+            height=cfg.frontend.height, width=cfg.frontend.width,
+            n_levels=cfg.frontend.n_levels, scale=cfg.frontend.scale_factor,
+        )
+        self.map = ms.update_point_stats(
+            self.map, orb.scale_factors(cfg.frontend.n_levels, cfg.frontend.scale_factor)[0]
+        )
+        self.map, _ = lm.run_local_ba(
+            self.map, jnp.asarray(slot), cfg.frontend.K,
+            jnp.asarray(cfg.frontend.bf), self._inv_sigma2,
+            window=cfg.local_ba_window,
+        )
+        self.map = lm.cull_keyframes(self.map, jnp.asarray(slot))
+
+        # adopt the BA-refined pose + surviving observations
+        self.T_cw = self.map.kf_pose[slot]
+        self.prev_obs = self.map.kf_obs_point[slot]
+
+    # ------------------------------------------------------------------
+    # initialization
+    # ------------------------------------------------------------------
+
+    def _mono_init(self, feats, timestamp):
+        """MonocularInitialization (src/Tracking.cc:563-737)."""
+        cfg = self.cfg
+        n_valid = int(jnp.sum(feats.valid))
+        if self.init_feats is None or n_valid < 100:
+            if n_valid >= 100:
+                self.init_feats = feats
+                self.init_frame_id = self.frame_id
+            return
+
+        idx, _ = matching.match_windowed(
+            self.init_feats.uv_und,
+            self.init_feats.desc,
+            self.init_feats.angle,
+            self.init_feats.valid,
+            feats.uv_und,
+            feats.desc,
+            feats.angle,
+            feats.valid,
+            window=100.0,
+            th=matching.TH_LOW,
+            check_rotation=True,
+            level_a=self.init_feats.level,
+            level_b=feats.level,
+        )
+        n_matches = int(jnp.sum(idx >= 0))
+        if n_matches < 100:
+            # stale initializer (reference resets after a gap,
+            # src/Tracking.cc:582-588)
+            self.init_feats = feats if n_valid >= 100 else None
+            self.init_frame_id = self.frame_id
+            return
+
+        N = idx.shape[0]
+        tgt = jnp.clip(idx, 0, N - 1)
+        uv1 = self.init_feats.uv_und
+        uv2 = feats.uv_und[tgt]
+        res = init2view.initialize_two_view(
+            cfg.frontend.K, uv1, uv2, idx >= 0
+        )
+        if not bool(res.ok):
+            return
+
+        # median-depth normalization (src/Tracking.cc:689-713)
+        good = np.asarray(res.good)
+        depths = np.asarray(res.points)[:, 2]
+        med = float(np.median(depths[good])) if good.any() else 1.0
+        inv_med = 1.0 / max(med, 1e-6)
+        pts = res.points * inv_med
+        T21 = np.asarray(res.T_21)
+        T21 = jnp.asarray(T21).at[4:7].multiply(inv_med)
+
+        # KF0 (identity) + KF1 (T21)
+        obs0 = jnp.where(res.good, jnp.arange(N, dtype=jnp.int32), -1)
+        self.map, s0 = ms.insert_keyframe(
+            self.map, lie.se3_identity(),
+            jnp.asarray(self.init_frame_id, jnp.int32),
+            uv1, self.init_feats.ur, self.init_feats.level,
+            self.init_feats.angle, self.init_feats.desc,
+            self.init_feats.valid, jnp.full((N,), -1, jnp.int32),
+            jnp.asarray(-1, jnp.int32),
+        )
+        self.map, s1 = ms.insert_keyframe(
+            self.map, T21, jnp.asarray(self.frame_id, jnp.int32),
+            feats.uv_und, feats.ur, feats.level, feats.angle, feats.desc,
+            feats.valid, jnp.full((N,), -1, jnp.int32), s0,
+        )
+        self.map, pids = ms.insert_points(
+            self.map, pts, self.init_feats.desc,
+            jnp.full((N,), int(s0), jnp.int32), res.good,
+        )
+        # wire observations in both KFs
+        obs_row0 = jnp.where(pids >= 0, pids, -1)
+        obs_row1 = jnp.full((N,), -1, jnp.int32)
+        obs_row1 = obs_row1.at[jnp.where(pids >= 0, tgt, N)].set(
+            jnp.where(pids >= 0, pids, -1), mode="drop"
+        )
+        self.map = self.map._replace(
+            kf_obs_point=self.map.kf_obs_point.at[int(s0)].set(obs_row0)
+            .at[int(s1)].set(obs_row1)
+        )
+        self.map = ms.update_point_stats(
+            self.map, orb.scale_factors(cfg.frontend.n_levels, cfg.frontend.scale_factor)[0]
+        )
+        # full BA on the initial map (GlobalBundleAdjustemnt(20),
+        # src/Tracking.cc:686)
+        self.map, _ = lm.run_local_ba(
+            self.map, s1, cfg.frontend.K, jnp.asarray(cfg.frontend.bf),
+            self._inv_sigma2, window=4, n_iters=20,
+        )
+        self.T_cw = self.map.kf_pose[int(s1)]
+        self.prev_obs = self.map.kf_obs_point[int(s1)]
+        self.ref_kf = int(s1)
+        self.ref_kf_matches = int(jnp.sum(self.prev_obs >= 0))
+        self.last_kf_frame = self.frame_id
+        self.velocity = lie.se3_identity()
+        self.state = self.OK
+
+    def _depth_init(self, feats, timestamp):
+        """StereoInitialization (src/Tracking.cc:509-561): first frame with
+        >=500 features becomes KF0; every close keypoint spawns a point."""
+        if int(jnp.sum(feats.valid)) < 500:
+            return
+        N = feats.uv.shape[0]
+        self.map, s0 = ms.insert_keyframe(
+            self.map, lie.se3_identity(),
+            jnp.asarray(self.frame_id, jnp.int32),
+            feats.uv_und, feats.ur, feats.level, feats.angle, feats.desc,
+            feats.valid, jnp.full((N,), -1, jnp.int32),
+            jnp.asarray(-1, jnp.int32),
+        )
+        self.map = _create_depth_points(
+            self.map, int(s0), feats, self.cfg.frontend.K,
+            self.cfg.frontend.bf, 1e9,
+        )
+        self.map = ms.update_point_stats(
+            self.map,
+            orb.scale_factors(
+                self.cfg.frontend.n_levels, self.cfg.frontend.scale_factor
+            )[0],
+        )
+        self.T_cw = lie.se3_identity()
+        self.prev_obs = self.map.kf_obs_point[int(s0)]
+        self.ref_kf = int(s0)
+        self.ref_kf_matches = int(jnp.sum(self.prev_obs >= 0))
+        self.last_kf_frame = self.frame_id
+        self.state = self.OK
+
+    # ------------------------------------------------------------------
+
+    def _record(self, timestamp):
+        T_rel = lie.se3_compose(
+            self.T_cw, lie.se3_inverse(self.map.kf_pose[self.ref_kf])
+        )
+        self.trajectory.append(
+            (self.frame_id - 1, timestamp, self.ref_kf, np.asarray(T_rel))
+        )
+        return np.asarray(self.T_cw)
+
+    def full_trajectory(self):
+        """Per-frame poses re-anchored on final optimized keyframe poses
+        (SaveTrajectoryTUM logic, src/System.cc:322-380)."""
+        out = []
+        kf_pose = np.asarray(self.map.kf_pose)
+        for fid, ts, ref, T_rel in self.trajectory:
+            T = np.asarray(
+                lie.se3_compose(jnp.asarray(T_rel), jnp.asarray(kf_pose[ref]))
+            )
+            out.append((fid, ts, T))
+        return out
+
+
+@jax.jit
+def _bump_stats(m: ms.MapState, visible, found):
+    return m._replace(
+        pt_visible=m.pt_visible + visible.astype(jnp.int32),
+        pt_found=m.pt_found + found.astype(jnp.int32),
+    )
+
+
+@jax.jit
+def _create_depth_points(m: ms.MapState, kf_id, feats, Kc, bf, depth_th):
+    """Spawn map points from stereo/RGB-D depth for unmatched close
+    keypoints (StereoInitialization src/Tracking.cc:509-561 and
+    CreateNewKeyFrame src/Tracking.cc:1073-1133)."""
+    from ..ops import camera
+
+    N = feats.uv.shape[0]
+    T = m.kf_pose[kf_id]
+    want = (
+        feats.valid
+        & (feats.depth > 0)
+        & (feats.depth < depth_th * bf / jnp.maximum(Kc[0], 1e-6))
+        & (m.kf_obs_point[kf_id] < 0)
+    )
+    pc = camera.backproject(Kc, feats.uv_und, feats.depth)
+    pw = lie.se3_apply(lie.se3_inverse(T), pc)
+    m2, pids = ms.insert_points(
+        m, pw, feats.desc, jnp.full((N,), kf_id, jnp.int32), want
+    )
+    row = jnp.where(pids >= 0, pids, m2.kf_obs_point[kf_id])
+    return m2._replace(kf_obs_point=m2.kf_obs_point.at[kf_id].set(row))

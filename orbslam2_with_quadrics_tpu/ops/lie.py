@@ -1,0 +1,382 @@
+"""SO3 / SE3 / Sim3 tangent-space operations on quaternion poses.
+
+TPU-native replacement for the reference's g2o types layer
+(Thirdparty/g2o/g2o/types/se3quat.h, sim3.h and the expmap vertices in
+types_six_dof_expmap.h / types_seven_dof_expmap.h): poses are flat arrays,
+every op is a pure function that broadcasts over leading batch dimensions,
+and optimizer updates are left-multiplicative increments
+``T <- exp(delta) * T`` in the same (omega, upsilon) tangent ordering g2o
+uses, so chi2/Jacobian structure carries over 1:1.
+
+Conventions
+-----------
+- Quaternion layout ``[w, x, y, z]``, unit norm, Hamilton convention.
+- SE3 pose = 7-vector ``[qw qx qy qz tx ty tz]`` mapping world->camera
+  (``p_c = R p_w + t``), like the reference's ``Tcw``.
+- SE3 tangent = 6-vector ``[omega(3), upsilon(3)]``.
+- Sim3 pose = 8-vector ``[qw qx qy qz tx ty tz s]`` (``p' = s R p + t``).
+- Sim3 tangent = 7-vector ``[omega(3), upsilon(3), sigma]``.
+
+All trig uses Taylor fallbacks near theta=0 so the ops are safely
+differentiable and float32-stable on TPU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-8
+
+
+# ---------------------------------------------------------------------------
+# quaternions
+# ---------------------------------------------------------------------------
+
+def quat_normalize(q):
+    return q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), _EPS)
+
+
+def quat_mul(a, b):
+    aw, ax, ay, az = jnp.moveaxis(a, -1, 0)
+    bw, bx, by, bz = jnp.moveaxis(b, -1, 0)
+    return jnp.stack(
+        [
+            aw * bw - ax * bx - ay * by - az * bz,
+            aw * bx + ax * bw + ay * bz - az * by,
+            aw * by - ax * bz + ay * bw + az * bx,
+            aw * bz + ax * by - ay * bx + az * bw,
+        ],
+        axis=-1,
+    )
+
+
+def quat_conj(q):
+    return q * jnp.asarray([1.0, -1.0, -1.0, -1.0], dtype=q.dtype)
+
+
+def quat_rotate(q, v):
+    """Rotate 3-vector(s) v by unit quaternion(s) q."""
+    w = q[..., :1]
+    xyz = q[..., 1:]
+    t = 2.0 * jnp.cross(xyz, v)
+    return v + w * t + jnp.cross(xyz, t)
+
+
+def quat_to_matrix(q):
+    w, x, y, z = jnp.moveaxis(q, -1, 0)
+    xx, yy, zz = x * x, y * y, z * z
+    xy, xz, yz = x * y, x * z, y * z
+    wx, wy, wz = w * x, w * y, w * z
+    m = jnp.stack(
+        [
+            1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy),
+            2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx),
+            2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy),
+        ],
+        axis=-1,
+    )
+    return m.reshape(m.shape[:-1] + (3, 3))
+
+
+def matrix_to_quat(m):
+    """Rotation matrix -> unit quaternion [w,x,y,z] (Shepperd's method,
+    branch-free via selecting the largest of the four candidates)."""
+    m00, m01, m02 = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    m10, m11, m12 = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    m20, m21, m22 = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    tr = m00 + m11 + m22
+
+    def mk(t, a, b, c):
+        # candidate with 4q_k^2 = t (clamped); (a,b,c) fill the rest
+        s = jnp.sqrt(jnp.maximum(t, _EPS)) * 2.0
+        return s, a / s, b / s, c / s
+
+    # four candidates: qw-major, qx-major, qy-major, qz-major
+    sw, xw, yw, zw = mk(1.0 + tr, m21 - m12, m02 - m20, m10 - m01)
+    qw_ = jnp.stack([sw / 4.0, xw, yw, zw], axis=-1)
+    sx, wx_, yx, zx = mk(1.0 + m00 - m11 - m22, m21 - m12, m01 + m10, m02 + m20)
+    qx_ = jnp.stack([wx_, sx / 4.0, yx, zx], axis=-1)
+    sy, wy_, xy_, zy = mk(1.0 - m00 + m11 - m22, m02 - m20, m01 + m10, m12 + m21)
+    qy_ = jnp.stack([wy_, xy_, sy / 4.0, zy], axis=-1)
+    sz, wz_, xz_, yz_ = mk(1.0 - m00 - m11 + m22, m10 - m01, m02 + m20, m12 + m21)
+    qz_ = jnp.stack([wz_, xz_, yz_, sz / 4.0], axis=-1)
+
+    cands = jnp.stack([qw_, qx_, qy_, qz_], axis=-2)  # [...,4,4]
+    scores = jnp.stack(
+        [tr, m00 - m11 - m22, m11 - m00 - m22, m22 - m00 - m11], axis=-1
+    )
+    idx = jnp.argmax(scores, axis=-1)
+    q = jnp.take_along_axis(cands, idx[..., None, None].astype(jnp.int32), axis=-2)
+    q = jnp.squeeze(q, axis=-2)
+    # canonical sign: w >= 0
+    q = q * jnp.where(q[..., :1] < 0, -1.0, 1.0)
+    return quat_normalize(q)
+
+
+# ---------------------------------------------------------------------------
+# SO3
+# ---------------------------------------------------------------------------
+
+def hat(w):
+    """3-vector -> skew-symmetric matrix."""
+    zeros = jnp.zeros_like(w[..., 0])
+    wx, wy, wz = w[..., 0], w[..., 1], w[..., 2]
+    m = jnp.stack([zeros, -wz, wy, wz, zeros, -wx, -wy, wx, zeros], axis=-1)
+    return m.reshape(w.shape[:-1] + (3, 3))
+
+
+def so3_exp_quat(w):
+    """so3 tangent -> unit quaternion."""
+    theta2 = jnp.sum(w * w, axis=-1, keepdims=True)
+    theta = jnp.sqrt(jnp.maximum(theta2, _EPS * _EPS))
+    half = 0.5 * theta
+    small = theta2 < 1e-8
+    # sin(t/2)/t with Taylor fallback 0.5 - t^2/48
+    k = jnp.where(small, 0.5 - theta2 / 48.0, jnp.sin(half) / theta)
+    cw = jnp.where(small, 1.0 - theta2 / 8.0, jnp.cos(half))
+    return quat_normalize(jnp.concatenate([cw, k * w], axis=-1))
+
+
+def so3_log(q):
+    """Unit quaternion -> so3 tangent (rotation vector)."""
+    q = q * jnp.where(q[..., :1] < 0, -1.0, 1.0)  # w >= 0 branch
+    w = jnp.clip(q[..., :1], -1.0, 1.0)
+    xyz = q[..., 1:]
+    n = jnp.linalg.norm(xyz, axis=-1, keepdims=True)
+    angle = 2.0 * jnp.arctan2(n, w)
+    # angle/n with fallback 2/w for n->0
+    k = jnp.where(n < 1e-7, 2.0 / jnp.maximum(w, _EPS), angle / jnp.maximum(n, _EPS))
+    return k * xyz
+
+
+def _so3_left_jacobian(w):
+    """Left Jacobian J_l of SO3 (used by se3 exp for the translation part)."""
+    theta2 = jnp.sum(w * w, axis=-1)[..., None, None]
+    theta = jnp.sqrt(jnp.maximum(theta2, _EPS * _EPS))
+    W = hat(w)
+    W2 = W @ W
+    small = theta2 < 1e-8
+    a = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
+    b = jnp.where(
+        small, 1.0 / 6.0 - theta2 / 120.0, (theta - jnp.sin(theta)) / (theta2 * theta)
+    )
+    eye = jnp.eye(3, dtype=w.dtype)
+    return eye + a * W + b * W2
+
+
+def _so3_left_jacobian_inv(w):
+    theta2 = jnp.sum(w * w, axis=-1)[..., None, None]
+    theta = jnp.sqrt(jnp.maximum(theta2, _EPS * _EPS))
+    W = hat(w)
+    W2 = W @ W
+    small = theta2 < 1e-8
+    cot = jnp.where(
+        small,
+        1.0 / 12.0 + theta2 / 720.0,
+        (1.0 - 0.5 * theta * jnp.cos(0.5 * theta) / jnp.maximum(jnp.sin(0.5 * theta), _EPS))
+        / theta2,
+    )
+    eye = jnp.eye(3, dtype=w.dtype)
+    return eye - 0.5 * W + cot * W2
+
+
+# ---------------------------------------------------------------------------
+# SE3 (7-vector [q, t])
+# ---------------------------------------------------------------------------
+
+SE3_IDENTITY = jnp.asarray([1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0])
+
+
+def se3_quat(T):
+    return T[..., :4]
+
+
+def se3_trans(T):
+    return T[..., 4:7]
+
+
+def se3_make(q, t):
+    return jnp.concatenate([q, t], axis=-1)
+
+
+def se3_identity(batch_shape=(), dtype=jnp.float32):
+    return jnp.broadcast_to(SE3_IDENTITY.astype(dtype), batch_shape + (7,))
+
+
+def se3_apply(T, p):
+    """p_out = R p + t."""
+    return quat_rotate(se3_quat(T), p) + se3_trans(T)
+
+
+def se3_compose(A, B):
+    """A * B (apply B first, then A)."""
+    q = quat_mul(se3_quat(A), se3_quat(B))
+    t = quat_rotate(se3_quat(A), se3_trans(B)) + se3_trans(A)
+    return se3_make(quat_normalize(q), t)
+
+
+def se3_inverse(T):
+    qi = quat_conj(se3_quat(T))
+    return se3_make(qi, -quat_rotate(qi, se3_trans(T)))
+
+
+def se3_exp(xi):
+    """se3 tangent [omega, upsilon] -> SE3 7-vector."""
+    w, v = xi[..., :3], xi[..., 3:6]
+    q = so3_exp_quat(w)
+    t = jnp.einsum("...ij,...j->...i", _so3_left_jacobian(w), v)
+    return se3_make(q, t)
+
+
+def se3_log(T):
+    w = so3_log(se3_quat(T))
+    v = jnp.einsum("...ij,...j->...i", _so3_left_jacobian_inv(w), se3_trans(T))
+    return jnp.concatenate([w, v], axis=-1)
+
+
+def se3_retract(T, xi):
+    """Left-multiplicative optimizer update: exp(xi) * T."""
+    return se3_compose(se3_exp(xi), T)
+
+
+def se3_to_matrix(T):
+    R = quat_to_matrix(se3_quat(T))
+    t = se3_trans(T)[..., :, None]
+    top = jnp.concatenate([R, t], axis=-1)
+    bottom = jnp.broadcast_to(
+        jnp.asarray([0.0, 0.0, 0.0, 1.0], dtype=T.dtype), T.shape[:-1] + (1, 4)
+    )
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+def se3_from_matrix(M):
+    return se3_make(matrix_to_quat(M[..., :3, :3]), M[..., :3, 3])
+
+
+# ---------------------------------------------------------------------------
+# Sim3 (8-vector [q, t, s]) — used by loop closing / essential graph
+# (reference: Thirdparty/g2o/g2o/types/sim3.h, src/Optimizer.cc:781-1044)
+# ---------------------------------------------------------------------------
+
+def sim3_make(q, t, s):
+    return jnp.concatenate([q, t, s[..., None] if s.ndim == q.ndim - 1 else s], axis=-1)
+
+
+def sim3_quat(S):
+    return S[..., :4]
+
+
+def sim3_trans(S):
+    return S[..., 4:7]
+
+
+def sim3_scale(S):
+    return S[..., 7]
+
+
+def sim3_identity(batch_shape=(), dtype=jnp.float32):
+    base = jnp.asarray([1.0, 0, 0, 0, 0, 0, 0, 1.0], dtype=dtype)
+    return jnp.broadcast_to(base, batch_shape + (8,))
+
+
+def sim3_apply(S, p):
+    return sim3_scale(S)[..., None] * quat_rotate(sim3_quat(S), p) + sim3_trans(S)
+
+
+def sim3_compose(A, B):
+    q = quat_mul(sim3_quat(A), sim3_quat(B))
+    t = sim3_scale(A)[..., None] * quat_rotate(sim3_quat(A), sim3_trans(B)) + sim3_trans(A)
+    s = sim3_scale(A) * sim3_scale(B)
+    return jnp.concatenate([quat_normalize(q), t, s[..., None]], axis=-1)
+
+
+def sim3_inverse(S):
+    qi = quat_conj(sim3_quat(S))
+    si = 1.0 / sim3_scale(S)
+    t = -si[..., None] * quat_rotate(qi, sim3_trans(S))
+    return jnp.concatenate([qi, t, si[..., None]], axis=-1)
+
+
+def sim3_from_se3(T, s=None):
+    if s is None:
+        s = jnp.ones(T.shape[:-1], dtype=T.dtype)
+    return jnp.concatenate([T, s[..., None]], axis=-1)
+
+
+def sim3_to_se3(S):
+    """Drop scale into translation: T = [q, t/s] (used when mapping corrected
+    Sim3 keyframe poses back to SE3, reference src/LoopClosing.cc:488-494)."""
+    s = sim3_scale(S)[..., None]
+    return se3_make(sim3_quat(S), sim3_trans(S) / s)
+
+
+def _sim3_W(w, sigma):
+    """The Sim3 'W' matrix: integral of exp(sigma u) R(u w) du, used to map
+    tangent translation into group translation."""
+    theta2 = jnp.sum(w * w, axis=-1)
+    theta = jnp.sqrt(jnp.maximum(theta2, _EPS * _EPS))
+    s = sigma
+    es = jnp.exp(s)
+    W_ = hat(w)
+    W2 = W_ @ W_
+    small_s = jnp.abs(s) < 1e-5
+    small_t = theta2 < 1e-8
+
+    A_ss = jnp.where(small_t, 0.5, (1.0 - jnp.cos(theta)) / jnp.maximum(theta2, _EPS))
+    B_ss = jnp.where(
+        small_t, 1.0 / 6.0, (theta - jnp.sin(theta)) / jnp.maximum(theta2 * theta, _EPS)
+    )
+    C_ss = jnp.ones_like(s)
+
+    denom = s * s + theta2
+    a_gen = es * jnp.sin(theta)
+    b_gen = es * jnp.cos(theta)
+    C_gen = (es - 1.0) / jnp.where(small_s, jnp.ones_like(s), s)
+    A_gen = (a_gen * s + (1.0 - b_gen) * theta) / jnp.maximum(theta * denom, _EPS)
+    B_gen = (
+        C_gen
+        - ((b_gen - 1.0) * s + a_gen * theta) / jnp.maximum(denom, _EPS)
+    ) / jnp.maximum(theta2, _EPS)
+
+    # sigma != 0, theta -> 0 limits
+    A_s0 = jnp.where(
+        small_s, A_ss, ((s - 1.0) * es + 1.0) / jnp.where(small_s, jnp.ones_like(s), s * s)
+    )
+    B_s0 = jnp.where(
+        small_s,
+        B_ss,
+        (es * (0.5 * s * s - s + 1.0) - 1.0) / jnp.where(small_s, jnp.ones_like(s), s * s * s),
+    )
+
+    A = jnp.where(small_s & small_t, A_ss, jnp.where(small_t, A_s0, jnp.where(small_s, A_ss, A_gen)))
+    B = jnp.where(small_s & small_t, B_ss, jnp.where(small_t, B_s0, jnp.where(small_s, B_ss, B_gen)))
+    C = jnp.where(small_s, C_ss, C_gen)
+
+    eye = jnp.eye(3, dtype=w.dtype)
+    return (
+        C[..., None, None] * eye
+        + A[..., None, None] * W_
+        + B[..., None, None] * W2
+    )
+
+
+def sim3_exp(xi):
+    """sim3 tangent [omega(3), upsilon(3), sigma] -> Sim3 8-vector."""
+    w, v, sigma = xi[..., :3], xi[..., 3:6], xi[..., 6]
+    q = so3_exp_quat(w)
+    s = jnp.exp(sigma)
+    t = jnp.einsum("...ij,...j->...i", _sim3_W(w, sigma), v)
+    return jnp.concatenate([q, t, s[..., None]], axis=-1)
+
+
+def sim3_log(S):
+    w = so3_log(sim3_quat(S))
+    sigma = jnp.log(jnp.maximum(sim3_scale(S), _EPS))
+    Wm = _sim3_W(w, sigma)
+    v = jnp.linalg.solve(Wm, sim3_trans(S)[..., None])[..., 0]
+    return jnp.concatenate([w, v, sigma[..., None]], axis=-1)
+
+
+def sim3_retract(S, xi):
+    return sim3_compose(sim3_exp(xi), S)

@@ -1,0 +1,357 @@
+"""Dual-quadric object landmarks: SVD init, conic projection, joint BA.
+
+TPU-native rebuild of the fork's quadric_slam extension — the part the
+reference left unfinished (SURVEY.md §2 'state of the quadric extension'):
+
+- 9-dof ellipsoid = SE3 pose + 3 axis scales; dual form
+  Q* = T diag(s^2, -1) T^T (reference include/quadric_slam/g2o_Object.h:150-164)
+- SVD initialization from >=3 bbox detections: bbox edges -> image lines
+  -> back-projected planes pi = P^T l -> 10-dim quadratic constraint rows
+  -> least-squares dual quadric (QuadricLandmark::QuadricInit,
+  src/quadric_slam/QuadricLandmark.cc:149-242 — including the fix for the
+  reference's never-filled vBoxes bug at :161-169)
+- conic projection C* = P Q* P^T and bbox extraction by tangent-line
+  extremes (g2o_Object.h:176-241)
+- bbox reprojection residual (EdgeSE3QuadricProj, g2o_Object.h:284-315)
+  with jacfwd Jacobians, and a joint camera-point-quadric BA where points
+  are Schur-marginalized and quadrics stay in the reduced system alongside
+  cameras (the 'intended capability' per BASELINE.json config #4).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import lie
+
+# quadric state: 10-vector [q(4), t(3), s(3)] — pose quaternion,
+# translation (object->world... pose of the object in world), log-free scales
+QUADRIC_DIM = 9  # tangent: [omega(3), upsilon(3), dlog_s(3)]
+
+
+class Quadric(NamedTuple):
+    pose: jnp.ndarray   # [7] T_wo (object frame -> world)
+    scale: jnp.ndarray  # [3] semi-axes
+
+
+def dual_matrix(q: Quadric):
+    """Q* = T diag(s^2, -1) T^T (g2o_Object.h toSymMat)."""
+    T = lie.se3_to_matrix(q.pose)
+    D = jnp.diag(jnp.concatenate([q.scale ** 2, jnp.asarray([-1.0])]))
+    return T @ D @ T.T
+
+
+def from_dual_matrix(Qd):
+    """Constrained ellipsoid from a general dual quadric 4x4
+    (g2o_Object.h fromVector10d: normalize, split, eigendecompose)."""
+    Qd = 0.5 * (Qd + Qd.T)
+    Qd = Qd / jnp.where(jnp.abs(Qd[3, 3]) < 1e-12, 1e-12, -Qd[3, 3])  # Q[3,3]=-1
+    t = Qd[:3, 3]
+    E = Qd[:3, :3] + jnp.outer(t, t)  # = R diag(s^2) R^T
+    evals, evecs = jnp.linalg.eigh(E)
+    s = jnp.sqrt(jnp.maximum(evals, 1e-9))
+    # proper rotation
+    R = evecs * jnp.sign(jnp.linalg.det(evecs))
+    pose = lie.se3_make(lie.matrix_to_quat(R), t)
+    return Quadric(pose=pose, scale=s)
+
+
+def retract(q: Quadric, xi):
+    """xi = [omega, upsilon, dlog_s] 9-vector tangent update."""
+    pose = lie.se3_retract(q.pose, xi[:6])
+    scale = q.scale * jnp.exp(xi[6:9])
+    return Quadric(pose=pose, scale=scale)
+
+
+def bbox_to_lines(bbox):
+    """bbox (xmin, ymin, xmax, ymax) -> 4 image lines [4,3]
+    (QuadricLandmark.cc:171-189 builds x=xmin, y=ymin, x=xmax, y=ymax)."""
+    xmin, ymin, xmax, ymax = bbox[0], bbox[1], bbox[2], bbox[3]
+    one = jnp.ones(())
+    zero = jnp.zeros(())
+    return jnp.stack(
+        [
+            jnp.stack([one, zero, -xmin]),
+            jnp.stack([zero, one, -ymin]),
+            jnp.stack([one, zero, -xmax]),
+            jnp.stack([zero, one, -ymax]),
+        ]
+    )
+
+
+def projection_3x4(T_cw, Kc):
+    from . import camera
+
+    return camera.projection_matrix(T_cw, Kc)
+
+
+def constraint_rows(P, bbox):
+    """4 planes -> 4 rows of the 10-dim dual-quadric constraint
+    pi^T Q* pi = 0 (QuadricLandmark.cc:191-226)."""
+    lines = bbox_to_lines(bbox)       # [4,3]
+    planes = lines @ P                # [4,4]: pi = P^T l
+    a, b, c, d = planes[:, 0], planes[:, 1], planes[:, 2], planes[:, 3]
+    return jnp.stack(
+        [
+            a * a, 2 * a * b, 2 * a * c, 2 * a * d,
+            b * b, 2 * b * c, 2 * b * d,
+            c * c, 2 * c * d,
+            d * d,
+        ],
+        axis=-1,
+    )  # [4,10]
+
+
+def vec10_to_sym(q10):
+    """10-vector -> symmetric 4x4 (row-major upper triangle)."""
+    a = q10
+    return jnp.asarray(
+        [
+            [a[0], a[1], a[2], a[3]],
+            [a[1], a[4], a[5], a[6]],
+            [a[2], a[5], a[7], a[8]],
+            [a[3], a[6], a[8], a[9]],
+        ]
+    )
+
+
+@partial(jax.jit, static_argnames=())
+def quadric_init(T_cws, Kc, bboxes, valid):
+    """SVD dual-quadric init from bbox observations.
+
+    Args:
+      T_cws: [M,7] camera poses of the observing keyframes.
+      bboxes: [M,4] (xmin,ymin,xmax,ymax) detections.
+      valid: [M] bool (>=3 required for a well-posed init).
+
+    Returns (Quadric, ok flag).
+    """
+    Ps = jax.vmap(projection_3x4, in_axes=(0, None))(T_cws, Kc)
+    rows = jax.vmap(constraint_rows)(Ps, bboxes)  # [M,4,10]
+    rows = rows * valid[:, None, None]
+    A = rows.reshape(-1, 10)
+    # row normalization for conditioning
+    A = A / jnp.maximum(jnp.linalg.norm(A, axis=-1, keepdims=True), 1e-12)
+    _, svals, vt = jnp.linalg.svd(A, full_matrices=False)
+    q10 = vt[-1]
+    Qd = vec10_to_sym(q10)
+    quad = from_dual_matrix(Qd)
+    n_obs = jnp.sum(valid.astype(jnp.int32))
+    ok = (
+        (n_obs >= 3)
+        & jnp.all(jnp.isfinite(quad.pose))
+        & jnp.all(jnp.isfinite(quad.scale))
+        & jnp.all(quad.scale > 1e-4)
+        & jnp.all(quad.scale < 1e3)
+    )
+    return quad, ok
+
+
+def project_bbox(quad: Quadric, T_cw, Kc):
+    """Project the ellipsoid to a bbox via its dual conic
+    (g2o_Object.h:176-241). Returns (bbox [4], ok)."""
+    P = projection_3x4(T_cw, Kc)
+    C = P @ dual_matrix(quad) @ P.T  # dual conic 3x3
+    C = C / jnp.where(jnp.abs(C[2, 2]) < 1e-12, 1e-12, C[2, 2])
+    x0, y0 = C[0, 2], C[1, 2]
+    dx2 = x0 * x0 - C[0, 0]
+    dy2 = y0 * y0 - C[1, 1]
+    ok = (dx2 > 0) & (dy2 > 0)
+    dx = jnp.sqrt(jnp.maximum(dx2, 1e-9))
+    dy = jnp.sqrt(jnp.maximum(dy2, 1e-9))
+    return jnp.stack([x0 - dx, y0 - dy, x0 + dx, y0 + dy]), ok
+
+
+def bbox_residual(quad: Quadric, T_cw, Kc, bbox_meas):
+    """e = bbox_meas - projected bbox (EdgeSE3QuadricProj computeError,
+    g2o_Object.h:298-313). [4]."""
+    pred, ok = project_bbox(quad, T_cw, Kc)
+    return jnp.where(ok, bbox_meas - pred, jnp.zeros(4)), ok
+
+
+# ---------------------------------------------------------------------------
+# joint camera-point-quadric BA
+# ---------------------------------------------------------------------------
+
+class QuadricBAProblem(NamedTuple):
+    """Point-BA problem + quadric landmarks with bbox edges."""
+
+    base: object              # ba.BAProblem (point edges)
+    quad_pose: jnp.ndarray    # [Q,7]
+    quad_scale: jnp.ndarray   # [Q,3]
+    qe_cam: jnp.ndarray       # [QE] int32 camera index
+    qe_quad: jnp.ndarray      # [QE] int32 quadric index
+    qe_bbox: jnp.ndarray      # [QE,4] measured bbox
+    qe_valid: jnp.ndarray     # [QE] float mask
+    qe_w: jnp.ndarray         # [QE] information weight
+
+
+def _quadric_terms(prob: QuadricBAProblem, Kc):
+    """Residuals + jacfwd Jacobians of the bbox edges."""
+    def per_edge(c, qi, bbox, v):
+        quad = Quadric(prob.quad_pose[qi], prob.quad_scale[qi])
+        T = prob.base.poses[c]
+
+        def r_of(xi_c, xi_q):
+            e, ok = bbox_residual(
+                retract(quad, xi_q), lie.se3_retract(T, xi_c), Kc, bbox
+            )
+            return e * ok
+
+        e = r_of(jnp.zeros(6), jnp.zeros(9))
+        Jc = jax.jacfwd(r_of, argnums=0)(jnp.zeros(6), jnp.zeros(9))
+        Jq = jax.jacfwd(r_of, argnums=1)(jnp.zeros(6), jnp.zeros(9))
+        return e, Jc, Jq
+
+    e, Jc, Jq = jax.vmap(per_edge)(
+        prob.qe_cam, prob.qe_quad, prob.qe_bbox, prob.qe_valid
+    )
+    w = prob.qe_valid * prob.qe_w
+    # Huber on bbox chi2 (delta ~ 10 px^2-scale)
+    chi2 = jnp.sum(e * e, axis=-1) * w
+    hw = jnp.where(chi2 < 100.0, 1.0, jnp.sqrt(100.0 / jnp.maximum(chi2, 1e-9)))
+    w = w * hw
+    Jc = Jc * (1.0 - prob.base.fixed_cam[prob.qe_cam])[:, None, None]
+    return e, Jc, Jq, w, jnp.sum(chi2 * hw)
+
+
+@partial(jax.jit, static_argnames=("n_iters", "cg_iters"))
+def quadric_ba_solve(prob: QuadricBAProblem, Kc, n_iters: int = 10, cg_iters: int = 40):
+    """Joint LM over cameras + points + quadrics.
+
+    Points are Schur-marginalized exactly as in ops/ba.py; quadric blocks
+    (9-dof) join the cameras in the reduced CG system — the direct TPU
+    analogue of adding VertexQuadric to the g2o graph with points
+    marginalized (the fork's intended-but-unwired optimizer).
+    """
+    from . import ba as ba_mod
+
+    C = prob.base.poses.shape[0]
+    Q = prob.quad_pose.shape[0]
+    huber_delta2 = jnp.asarray(ba_mod.residuals.CHI2_STEREO)
+
+    def one_iter(carry, _):
+        prob, lam, cost = carry
+        base = prob.base
+        # point-edge system
+        Hcc_d, bc, Hpp_inv, bp, Wcp, cost_pts = ba_mod._build_system(
+            base, huber_delta2, lam
+        )
+        # quadric-edge system
+        e_q, Jc_q, Jq_q, w_q, cost_q = _quadric_terms(prob, Kc)
+        JcW = Jc_q * w_q[:, None, None]
+        JqW = Jq_q * w_q[:, None, None]
+        Hcc_q = jax.ops.segment_sum(
+            jnp.einsum("eri,erj->eij", JcW, Jc_q), prob.qe_cam, num_segments=C
+        )
+        Hqq = jax.ops.segment_sum(
+            jnp.einsum("eri,erj->eij", JqW, Jq_q), prob.qe_quad, num_segments=Q
+        )
+        bc_q = jax.ops.segment_sum(
+            -jnp.einsum("eri,er->ei", JcW, e_q), prob.qe_cam, num_segments=C
+        )
+        bq = jax.ops.segment_sum(
+            -jnp.einsum("eri,er->ei", JqW, e_q), prob.qe_quad, num_segments=Q
+        )
+        Hcc_d = Hcc_d + Hcc_q + lam * Hcc_q * jnp.eye(6)
+        Hqq_d = Hqq + lam * Hqq * jnp.eye(9) + 1e-6 * jnp.eye(9)
+
+        g_c = bc + bc_q - ba_mod._schur_rhs(base, Hpp_inv, bp, Wcp)
+
+        Minv_c = jnp.linalg.inv(Hcc_d)
+        Minv_q = jnp.linalg.inv(Hqq_d)
+
+        def matvec(x):
+            xc = x[: C * 6].reshape(C, 6)
+            xq = x[C * 6 :].reshape(Q, 9)
+            # cam block: point-Schur part + quadric-edge Hcc part (folded
+            # into Hcc_d above)
+            yc = ba_mod._schur_matvec(xc, base, Hcc_d, Hpp_inv, Wcp)
+            # cam-quad coupling H_cq = sum_e Jc^T w Jq
+            tq = jnp.einsum("erj,ej->er", Jq_q, xq[prob.qe_quad])  # [E,4]
+            yc = yc + jax.ops.segment_sum(
+                jnp.einsum("eri,er->ei", JcW, tq), prob.qe_cam, num_segments=C
+            )
+            # quad block
+            yq = jnp.einsum("qij,qj->qi", Hqq_d, xq)
+            tc = jnp.einsum("eri,ei->er", Jc_q, xc[prob.qe_cam])  # [E,4]
+            yq = yq + jax.ops.segment_sum(
+                jnp.einsum("erj,er->ej", JqW, tc), prob.qe_quad, num_segments=Q
+            )
+            return jnp.concatenate([yc.reshape(-1), yq.reshape(-1)])
+
+        def precond(r):
+            rc = r[: C * 6].reshape(C, 6)
+            rq = r[C * 6 :].reshape(Q, 9)
+            return jnp.concatenate(
+                [
+                    jnp.einsum("cij,cj->ci", Minv_c, rc).reshape(-1),
+                    jnp.einsum("qij,qj->qi", Minv_q, rq).reshape(-1),
+                ]
+            )
+
+        b_full = jnp.concatenate([g_c.reshape(-1), bq.reshape(-1)])
+        # CG
+        x = jnp.zeros_like(b_full)
+        r = b_full
+        z = precond(r)
+        p = z
+
+        def cg_step(_, st):
+            x, r, z, p = st
+            Ap = matvec(p)
+            rz = jnp.sum(r * z)
+            alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-20)
+            x = x + alpha * p
+            r2 = r - alpha * Ap
+            z2 = precond(r2)
+            beta = jnp.sum(r2 * z2) / jnp.maximum(rz, 1e-20)
+            return x, r2, z2, z2 + beta * p
+
+        x, _, _, _ = jax.lax.fori_loop(0, cg_iters, cg_step, (x, r, z, p))
+        dc = x[: C * 6].reshape(C, 6) * (1.0 - base.fixed_cam)[:, None]
+        dq = x[C * 6 :].reshape(Q, 9)
+
+        # back-substitute points
+        P = base.points.shape[0]
+        t1 = jnp.einsum("oij,oi->oj", Wcp, dc[base.cam_idx])
+        dp = jnp.einsum(
+            "pij,pj->pi",
+            Hpp_inv,
+            bp - jax.ops.segment_sum(t1, base.pnt_idx, num_segments=P),
+        )
+        dp = dp * (1.0 - base.fixed_pnt)[:, None]
+
+        new_base = base._replace(
+            poses=jax.vmap(lie.se3_retract)(base.poses, dc),
+            points=base.points + dp,
+        )
+        new_qpose = jax.vmap(lambda qp, qs, d: retract(Quadric(qp, qs), d).pose)(
+            prob.quad_pose, prob.quad_scale, dq
+        )
+        new_qscale = jax.vmap(lambda qp, qs, d: retract(Quadric(qp, qs), d).scale)(
+            prob.quad_pose, prob.quad_scale, dq
+        )
+        cand = prob._replace(
+            base=new_base, quad_pose=new_qpose, quad_scale=new_qscale
+        )
+        _, _, _, _, _, cost_pts2, _, _ = ba_mod._edge_terms(
+            cand.base, huber_delta2
+        )
+        _, _, _, _, cost_q2 = _quadric_terms(cand, Kc)
+        new_cost = cost_pts2 + cost_q2
+        ok = (new_cost < cost) & jnp.all(jnp.isfinite(x))
+        out = jax.tree.map(lambda a, b: jnp.where(ok, a, b), cand, prob)
+        lam = jnp.clip(jnp.where(ok, lam * 0.5, lam * 4.0), 1e-8, 1e8)
+        return (out, lam, jnp.where(ok, new_cost, cost)), None
+
+    _, _, _, _, _, c0, _, _ = ba_mod._edge_terms(prob.base, huber_delta2)
+    _, _, _, _, cq0 = _quadric_terms(prob, Kc)
+    (prob, _, cost), _ = jax.lax.scan(
+        one_iter, (prob, jnp.asarray(1e-4), c0 + cq0), None, length=n_iters
+    )
+    return prob, cost

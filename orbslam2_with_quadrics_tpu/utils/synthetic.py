@@ -1,0 +1,127 @@
+"""Synthetic photorealistic-enough sequences for integration tests.
+
+The reference repo ships no test data (SURVEY.md §4); these generators
+render textured planes under known camera motion so the full pipeline
+(extract -> init -> track -> BA) can be validated against exact ground
+truth, including loop trajectories for loop-closing tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+try:
+    import cv2
+except Exception:  # pragma: no cover
+    cv2 = None
+
+
+def _texture(size: int, seed: int) -> np.ndarray:
+    """Multi-scale random texture with strong corners for FAST."""
+    rng = np.random.RandomState(seed)
+    img = np.zeros((size, size), np.float32)
+    # blocky multi-scale noise
+    for s in (8, 16, 32, 64):
+        layer = rng.rand(s, s).astype(np.float32)
+        img += cv2.resize(layer, (size, size), interpolation=cv2.INTER_NEAREST)
+    img = (img - img.min()) / (img.max() - img.min())
+    # sprinkle high-contrast blobs
+    for _ in range(size):
+        x, y = rng.randint(8, size - 8, 2)
+        r = rng.randint(2, 6)
+        cv2.circle(img, (x, y), r, float(rng.rand()), -1)
+    return (img * 255.0).astype(np.float32)
+
+
+def planar_sequence(
+    n_frames: int = 60,
+    h: int = 480,
+    w: int = 640,
+    fx: float = 500.0,
+    fy: float = 500.0,
+    seed: int = 0,
+    motion: str = "strafe",
+    plane_half: float = 3.0,
+    tex_size: int = 2048,
+):
+    """Camera viewing a textured plane z=0 from distance ~2.5.
+
+    Returns (imgs [T,H,W] float32, poses_true list of 4x4 T_cw, K [4]).
+    """
+    assert cv2 is not None, "cv2 required for synthetic rendering"
+    cx, cy = w / 2.0, h / 2.0
+    K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
+    tex = _texture(tex_size, seed)
+    # world plane [-ph, ph]^2 -> texture pixels
+    s = tex_size / (2 * plane_half)
+    S = np.array([[s, 0, tex_size / 2.0], [0, s, tex_size / 2.0], [0, 0, 1.0]])
+
+    imgs, poses = [], []
+    rng = np.random.RandomState(seed + 1)
+    for t in range(n_frames):
+        u = t / max(n_frames - 1, 1)
+        if motion == "strafe":
+            # sideways translation + slight yaw and depth change
+            tx = 1.2 * u
+            ty = 0.15 * np.sin(2 * np.pi * u)
+            tz = 2.5 + 0.3 * np.sin(np.pi * u)
+            yaw = 0.15 * u
+            pitch = 0.05 * np.sin(2 * np.pi * u)
+        elif motion == "orbit_loop":
+            # closed loop: circle above the plane, returns to start
+            ang = 2 * np.pi * u
+            tx = 0.8 * np.sin(ang)
+            ty = 0.8 * (1 - np.cos(ang))
+            tz = 2.5
+            yaw = 0.10 * np.sin(ang)
+            pitch = 0.0
+        else:
+            raise ValueError(motion)
+
+        Rx = _rot_x(np.pi + pitch)  # look down at the plane (z=0 below)
+        Rz = _rot_z(yaw)
+        R_wc = Rz @ Rx          # camera->world rotation
+        C = np.array([tx, ty, tz])
+        R_cw = R_wc.T
+        t_cw = -R_cw @ C
+        # homography world-plane -> image: x_img ~ K [r1 r2 t_cw] (X,Y,1)
+        Hwi = K @ np.stack([R_cw[:, 0], R_cw[:, 1], t_cw], axis=1)
+        Hti = Hwi @ np.linalg.inv(S)
+        img = cv2.warpPerspective(
+            tex, Hti, (w, h), flags=cv2.INTER_LINEAR, borderMode=cv2.BORDER_WRAP
+        )
+        T = np.eye(4)
+        T[:3, :3] = R_cw
+        T[:3, 3] = t_cw
+        imgs.append(img)
+        poses.append(T)
+    return np.stack(imgs), poses, np.array([fx, fy, cx, cy])
+
+
+def planar_depth(pose_T_cw, K, h, w):
+    """Exact depth map of the z=0 plane for RGB-D tests."""
+    R = pose_T_cw[:3, :3]
+    t = pose_T_cw[:3, 3]
+    fx, fy, cx, cy = K
+    ys, xs = np.mgrid[0:h, 0:w]
+    rays = np.stack(
+        [(xs - cx) / fx, (ys - cy) / fy, np.ones_like(xs, np.float64)], axis=-1
+    )
+    # world ray dir = R^T d; origin C = -R^T t; z=0 => depth lam solves
+    # (C + lam * R^T d).z = 0 along *camera* z: depth = z_cam of the hit
+    d_w = rays @ R  # [h,w,3] (R^T applied to each ray)
+    C = -R.T @ t
+    lam = -C[2] / np.where(np.abs(d_w[..., 2]) < 1e-9, 1e-9, d_w[..., 2])
+    depth = lam  # camera-frame z of intersection = lam * d_cam.z = lam
+    depth = np.where(lam > 0, lam, 0.0)
+    return depth.astype(np.float32)
+
+
+def _rot_x(a):
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[1, 0, 0], [0, c, -s], [0, s, c]])
+
+
+def _rot_z(a):
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
