@@ -39,6 +39,13 @@ class SystemConfig:
     min_inliers_kf: int = 15
     local_ba_window: int = 16
     depth_factor: float = 1.0       # RGB-D depth map scaling
+    enable_loop_closing: bool = False
+    vocab_k: int = 8                # lazily-trained vocabulary branching
+    vocab_levels: int = 3
+    vocab_train_kfs: int = 4        # train once this many KFs accumulated
+    enable_quadrics: bool = False
+    quadric_min_points: int = 15    # QuadricLandmark validity gate
+                                    # (reference QuadricLandmark.cc:128-147)
 
 
 class System:
@@ -68,16 +75,36 @@ class System:
             cfg.frontend.n_levels, cfg.frontend.scale_factor
         )
         self.metrics = []
+        # loop closing (lazily-trained vocabulary, reference expects a
+        # pretrained ORBvoc.txt which this repo builds on the fly)
+        self.loop_closer = None
+        self._vocab_pool = []
+        self.n_loops_closed = 0
+        # quadric object landmarks
+        self.quadrics = None
+        if cfg.enable_quadrics:
+            from .quadric_mapping import QuadricManager
+
+            self.quadrics = QuadricManager(
+                cfg.frontend.K, min_points=cfg.quadric_min_points
+            )
+        self._pending_detections = None
+        self.frames_since_reloc = 999
 
     # ------------------------------------------------------------------
     # public per-frame entries
     # ------------------------------------------------------------------
 
-    def track_monocular(self, img, timestamp=0.0):
+    def track_monocular(self, img, timestamp=0.0, detections=None):
+        """detections: optional [D,6] (x,y,w,h,prob,class) object boxes for
+        the quadric pipeline (reference offline-detection format,
+        matrix_utils.h:49-54)."""
+        self._pending_detections = detections
         feats = fe.extract_mono(self.cfg.frontend, jnp.asarray(img, jnp.float32))
         return self._track(feats, timestamp)
 
-    def track_rgbd(self, img, depth, timestamp=0.0):
+    def track_rgbd(self, img, depth, timestamp=0.0, detections=None):
+        self._pending_detections = detections
         feats = fe.extract_rgbd(
             self.cfg.frontend,
             jnp.asarray(img, jnp.float32),
@@ -85,7 +112,8 @@ class System:
         )
         return self._track(feats, timestamp)
 
-    def track_stereo(self, img_l, img_r, timestamp=0.0):
+    def track_stereo(self, img_l, img_r, timestamp=0.0, detections=None):
+        self._pending_detections = detections
         feats = fe.extract_stereo(
             self.cfg.frontend,
             jnp.asarray(img_l, jnp.float32),
@@ -121,11 +149,16 @@ class System:
         )
         n_inl = int(res.n_inliers)
         if n_inl < cfg.min_inliers_track:
-            # lost: keep predicting blindly this round (relocalization is
-            # wired in once the BoW database lands — reference
-            # src/Tracking.cc:1341)
             self.state = self.LOST
             self.velocity = lie.se3_identity()
+            if self._relocalize(feats):
+                self.state = self.OK
+                self.frames_since_reloc = 0
+                self.frame_id += 1
+                self.metrics.append(
+                    {"frame": self.frame_id, "inliers": n_inl, "reloc": True}
+                )
+                return self._record(timestamp)
             self.frame_id += 1
             self.metrics.append({"frame": self.frame_id, "inliers": n_inl, "lost": True})
             return self._record(timestamp)
@@ -213,9 +246,121 @@ class System:
         )
         self.map = lm.cull_keyframes(self.map, jnp.asarray(slot))
 
+        # --- place recognition / loop closing ---
+        if cfg.enable_loop_closing:
+            self._maybe_train_vocab(feats)
+            if self.loop_closer is not None:
+                self.loop_closer.add_keyframe(
+                    slot, self.map.kf_desc[slot], self.map.kf_kp_valid[slot]
+                )
+                for cand in self.loop_closer.detect(self.map, slot):
+                    self.map, ok = self.loop_closer.attempt_close(
+                        self.map, slot, cand, cfg.frontend.K,
+                        n_levels=cfg.frontend.n_levels,
+                        scale=cfg.frontend.scale_factor,
+                    )
+                    if ok:
+                        self.n_loops_closed += 1
+                        # global refinement after the essential graph
+                        # (RunGlobalBundleAdjustment, LoopClosing.cc:645-749)
+                        self.map, _ = lm.run_local_ba(
+                            self.map, jnp.asarray(slot), cfg.frontend.K,
+                            jnp.asarray(cfg.frontend.bf), self._inv_sigma2,
+                            window=cfg.map.max_keyframes, n_iters=10,
+                        )
+                        break
+
+        # --- quadric object landmarks ---
+        if self.quadrics is not None and self._pending_detections is not None:
+            self.quadrics.add_keyframe_detections(
+                self.map, slot, self._pending_detections
+            )
+            self.quadrics.try_initialize(self.map)
+            if any(l.initialized for l in self.quadrics.landmarks):
+                self.map = self.quadrics.joint_ba(self.map, self._inv_sigma2)
+
         # adopt the BA-refined pose + surviving observations
         self.T_cw = self.map.kf_pose[slot]
         self.prev_obs = self.map.kf_obs_point[slot]
+
+    def _maybe_train_vocab(self, feats):
+        """Train a small vocabulary from early keyframe descriptors
+        (the reference loads a pretrained ORBvoc.txt, System.cc:64-71;
+        this repo bootstraps one from the sequence itself)."""
+        if self.loop_closer is not None:
+            return
+        from ..ops import vocab as vocab_mod
+        from .loop_closing import LoopCloser
+
+        self._vocab_pool.append(np.asarray(feats.desc[np.asarray(feats.valid)]))
+        if len(self._vocab_pool) < self.cfg.vocab_train_kfs:
+            return
+        desc = np.concatenate(self._vocab_pool, axis=0)
+        if len(desc) < 256:
+            return
+        voc = vocab_mod.train(
+            jnp.asarray(desc), k=self.cfg.vocab_k, levels=self.cfg.vocab_levels
+        )
+        self.loop_closer = LoopCloser(voc, self.cfg.map)
+        # index all existing keyframes
+        for s in range(int(self.map.n_kf)):
+            if bool(self.map.kf_valid[s]):
+                self.loop_closer.add_keyframe(
+                    s, self.map.kf_desc[s], self.map.kf_kp_valid[s]
+                )
+        self._vocab_pool = []
+
+    def _relocalize(self, feats) -> bool:
+        """Relocalization (reference src/Tracking.cc:1341-1502): BoW
+        candidates -> word-bucketed matching -> PnP RANSAC -> pose LM."""
+        from ..ops import pnp, vocab as vocab_mod
+        from . import loop_closing as lc_mod
+
+        if self.loop_closer is None:
+            return False
+        lcs = self.loop_closer
+        word, _ = vocab_mod.transform(lcs.voc, feats.desc, feats.valid)
+        qbow = vocab_mod.bow_vector(word, lcs.voc.n_words, lcs.voc.idf)
+        scores, common = lc_mod.score_database(lcs.bow, qbow, self.map.kf_valid)
+        scores = np.asarray(scores)
+        order = np.argsort(-scores)[:5]
+        P = self.map.pt_pos.shape[0]
+        for cand in order:
+            if scores[cand] <= 0:
+                break
+            mi, _ = vocab_mod.match_by_words(
+                word, feats.desc, feats.valid,
+                lcs.words[cand], self.map.kf_desc[cand],
+                self.map.kf_kp_valid[cand],
+            )
+            pt = self.map.kf_obs_point[cand, jnp.clip(mi, 0, mi.shape[0] - 1)]
+            ok = (mi >= 0) & (pt >= 0)
+            if int(jnp.sum(ok)) < 15:
+                continue
+            pw = self.map.pt_pos[jnp.clip(pt, 0, P - 1)]
+            T, inl, n_inl = pnp.ransac_pnp(
+                pw, feats.uv_und, ok, self.cfg.frontend.K,
+                self._inv_sigma2[
+                    jnp.clip(feats.level, 0, self._inv_sigma2.shape[0] - 1)
+                ],
+            )
+            if int(n_inl) < 15:
+                continue
+            # polish with motion-only LM on the matches
+            obs = jnp.where(inl & ok, pt, -1)
+            res = tr.track_frame(
+                self.map, feats, T, obs, self.cfg.frontend.K,
+                jnp.asarray(self.cfg.frontend.bf),
+                height=self.cfg.frontend.height, width=self.cfg.frontend.width,
+                n_levels=self.cfg.frontend.n_levels,
+                scale=self.cfg.frontend.scale_factor,
+            )
+            if int(res.n_inliers) >= 30:
+                self.T_cw = res.T_cw
+                self.prev_obs = res.obs_point
+                self.velocity = lie.se3_identity()
+                return True
+        return False
 
     # ------------------------------------------------------------------
     # initialization

@@ -111,11 +111,23 @@ def _build_system(prob: BAProblem, huber_delta2, lam, axis_name=None):
     bp = _seg(-jnp.einsum("ori,or->oi", JpW, e), prob.pnt_idx, P, axis_name)
     Wcp = jnp.einsum("ori,orj->oij", JcW, Jp)  # [O,6,3] stays per-edge
 
-    # LM damping (multiplicative on diagonals + small absolute floor)
+    # LM damping (multiplicative on diagonals + small absolute floor);
+    # fixed cameras get an identity block so the Jacobi preconditioner
+    # stays O(1) and CG directions are not polluted
     eye6 = jnp.eye(6, dtype=Hcc.dtype)
     eye3 = jnp.eye(3, dtype=Hpp.dtype)
-    Hcc_d = Hcc + lam * Hcc * eye6 + 1e-8 * eye6
-    Hpp_d = Hpp + lam * Hpp * eye3 + 1e-8 * eye3
+    Hcc_d = (
+        Hcc
+        + lam * Hcc * eye6
+        + (1e-8 + prob.fixed_cam)[:, None, None] * eye6
+    )
+    # points with no (free) observations likewise
+    pnt_observed = jnp.abs(jnp.einsum("pii->p", Hpp)) > 1e-12
+    Hpp_d = (
+        Hpp
+        + lam * Hpp * eye3
+        + jnp.where(pnt_observed, 1e-8, 1.0)[:, None, None] * eye3
+    )
     Hpp_inv = jnp.linalg.inv(Hpp_d)
 
     return Hcc_d, bc, Hpp_inv, bp, Wcp, cost

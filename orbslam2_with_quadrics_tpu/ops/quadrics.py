@@ -49,8 +49,11 @@ def from_dual_matrix(Qd):
     """Constrained ellipsoid from a general dual quadric 4x4
     (g2o_Object.h fromVector10d: normalize, split, eigendecompose)."""
     Qd = 0.5 * (Qd + Qd.T)
-    Qd = Qd / jnp.where(jnp.abs(Qd[3, 3]) < 1e-12, 1e-12, -Qd[3, 3])  # Q[3,3]=-1
-    t = Qd[:3, 3]
+    Qd = Qd * jnp.where(
+        jnp.abs(Qd[3, 3]) < 1e-12, 1e12, -1.0 / Qd[3, 3]
+    )  # scale so Q[3,3] = -1
+    # Q* = [[R S R^T - t t^T, -t], [-t^T, -1]] with S = diag(s^2)
+    t = -Qd[:3, 3]
     E = Qd[:3, :3] + jnp.outer(t, t)  # = R diag(s^2) R^T
     evals, evecs = jnp.linalg.eigh(E)
     s = jnp.sqrt(jnp.maximum(evals, 1e-9))

@@ -35,8 +35,9 @@ def horn_sim3(p1, p2, w=None, fix_scale: bool = False):
     c2 = jnp.sum(p2 * wn[..., None], axis=-2)
     x1 = p1 - c1
     x2 = p2 - c2
-    # correlation matrix M = sum w x2 x1^T
-    M = jnp.einsum("...n,...ni,...nj->...ij", wn, x2, x1)
+    # Horn's correlation matrix S_ab = sum w x1_a x2_b (order matters: the
+    # max-eigenvector quaternion then rotates frame-1 vectors into frame 2)
+    M = jnp.einsum("...n,...ni,...nj->...ij", wn, x1, x2)
     # Horn's 4x4 symmetric N matrix from M
     Sxx, Sxy, Sxz = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
     Syx, Syy, Syz = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]

@@ -55,7 +55,7 @@ def _hamming(a, b):
     return jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("k", "iters"))
+@partial(jax.jit, static_argnames=("n_nodes", "k", "iters"))
 def _kmedians_level(desc, assign, n_nodes: int, k: int, key, iters: int = 8):
     """Split each node's descriptors into k children by Hamming k-medians.
 

@@ -9,6 +9,16 @@ import os
 import sys
 import time
 
+if "axon_site" in os.environ.get("PYTHONPATH", "") or os.environ.get(
+    "JAX_PLATFORMS", "cpu"
+) not in ("cpu", ""):
+    # drop the TPU-tunnel sitecustomize + remote platform
+    # (see tests/conftest.py)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    os.execve(sys.executable, [sys.executable] + sys.argv, env)
+
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")

@@ -7,8 +7,12 @@ driver separately dry-run-compiles the multi-chip path via
 """
 
 import os
+import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: the escape from the TPU-tunnel environment (PYTHONPATH
+# sitecustomize + JAX_PLATFORMS=axon) lives in the ROOT conftest.py —
+# it must run before pytest's capture plugin starts.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,139 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orbslam2_with_quadrics_tpu.models import local_mapping as lm
+from orbslam2_with_quadrics_tpu.models import map_state as ms
+from orbslam2_with_quadrics_tpu.ops import camera, lie, orb
+
+K = jnp.asarray([300.0, 300.0, 160.0, 120.0])
+CFG = ms.MapConfig(max_keyframes=8, max_points=256, n_features=64, n_levels=4)
+
+
+def rand_desc(key, n):
+    return jax.random.randint(key, (n, 8), 0, 2**31 - 1, dtype=jnp.int32).astype(
+        jnp.uint32
+    )
+
+
+def make_two_kf_map(key=jax.random.PRNGKey(0), n_pts=48):
+    """Two keyframes observing a shared point cloud; some kps unmatched."""
+    m = ms.empty_map(CFG)
+    N = CFG.n_features
+    pts = jax.random.uniform(
+        key, (n_pts, 3),
+        minval=jnp.asarray([-1.5, -1.0, 4.0]), maxval=jnp.asarray([1.5, 1.0, 8.0]),
+    )
+    desc = rand_desc(jax.random.PRNGKey(1), N)
+    T0 = lie.se3_identity()
+    T1 = lie.se3_exp(jnp.asarray([0.01, -0.02, 0.005, 0.4, 0.02, 0.03]))
+
+    for Ti, fid in ((T0, 0), (T1, 1)):
+        uv, z = camera.project(K, lie.se3_apply(Ti, pts))
+        uv_full = jnp.zeros((N, 2)).at[:n_pts].set(uv)
+        obs = jnp.full((N,), -1, jnp.int32)
+        m, slot = ms.insert_keyframe(
+            m, Ti, jnp.asarray(fid, jnp.int32), uv_full,
+            jnp.full((N,), -1.0), jnp.zeros((N,), jnp.int32), jnp.zeros((N,)),
+            desc, jnp.ones((N,), bool), obs,
+            jnp.asarray(fid - 1, jnp.int32),
+        )
+    # register half the points as already-known observations in both KFs
+    half = n_pts // 2
+    m, pids = ms.insert_points(
+        m, pts[:half], desc[:half], jnp.zeros((half,), jnp.int32),
+        jnp.ones((half,), bool),
+    )
+    obs_rows = m.kf_obs_point
+    obs_rows = obs_rows.at[0, :half].set(pids)
+    obs_rows = obs_rows.at[1, :half].set(pids)
+    m = m._replace(kf_obs_point=obs_rows)
+    return m, pts, desc, T0, T1, half, n_pts
+
+
+def test_insert_and_counters():
+    m, pts, desc, T0, T1, half, n_pts = make_two_kf_map()
+    assert int(m.n_kf) == 2
+    assert int(m.n_pt) == half
+    assert bool(m.kf_valid[0]) and bool(m.kf_valid[1])
+
+
+def test_covisibility_counts_shared_points():
+    m, *_, half, n_pts = make_two_kf_map()
+    W = np.asarray(ms.covisibility(m))
+    assert W[0, 1] == half and W[1, 0] == half
+    assert W[0, 0] == 0
+
+
+def test_point_obs_count():
+    m, *_, half, n_pts = make_two_kf_map()
+    cnt = np.asarray(ms.point_obs_count(m))
+    assert (cnt[:half] == 2).all()
+
+
+def test_insert_points_overflow_drops():
+    m = ms.empty_map(CFG)
+    P = CFG.max_points
+    big = P + 10
+    pos = jnp.zeros((big, 3))
+    desc = jnp.zeros((big, 8), jnp.uint32)
+    m, pids = ms.insert_points(
+        m, pos, desc, jnp.zeros((big,), jnp.int32), jnp.ones((big,), bool)
+    )
+    assert int(m.n_pt) == P
+    assert int(jnp.sum(pids >= 0)) == P
+
+
+def test_create_new_points_triangulates_unmatched():
+    m, pts, desc, T0, T1, half, n_pts = make_two_kf_map()
+    m2, n_new = lm.create_new_points(
+        m, jnp.asarray(1), K, jnp.asarray(0.0), n_neighbors=4, n_levels=4
+    )
+    n_new = int(n_new)
+    assert n_new > (n_pts - half) // 2  # most unmatched kps triangulated
+    # new points near ground truth
+    new_ids = np.arange(half, half + n_new)
+    est = np.asarray(m2.pt_pos)[new_ids]
+    # each new point should be close to SOME true point
+    d = np.linalg.norm(est[:, None, :] - np.asarray(pts)[None, :, :], axis=-1)
+    assert np.median(d.min(axis=1)) < 0.1
+
+
+def test_update_point_stats_sets_descriptor_and_band():
+    m, pts, desc, *_ = make_two_kf_map()
+    sf, _, _ = orb.scale_factors(4, 1.2)
+    m2 = ms.update_point_stats(m, sf)
+    # representative descriptor equals the (identical) observation desc
+    assert (np.asarray(m2.pt_desc[0]) == np.asarray(desc[0])).all()
+    assert float(m2.pt_max_dist[0]) > float(m2.pt_min_dist[0]) > 0
+
+
+def test_cull_points_drops_low_ratio():
+    m, *_ , half, n_pts = make_two_kf_map()
+    m = m._replace(
+        pt_visible=m.pt_visible.at[0].set(20),
+        pt_found=m.pt_found.at[0].set(1),
+    )
+    m2 = lm.cull_points(m)
+    assert not bool(m2.pt_valid[0])
+    assert bool(m2.pt_valid[1])
+    # detached from keyframes
+    assert int(m2.kf_obs_point[0, 0]) == -1
+
+
+def test_local_ba_reduces_cost_on_perturbed_map():
+    m, pts, desc, T0, T1, half, n_pts = make_two_kf_map()
+    # perturb points
+    m = m._replace(
+        pt_pos=m.pt_pos + 0.03 * jax.random.normal(jax.random.PRNGKey(5), m.pt_pos.shape)
+    )
+    _, _, inv_s2 = orb.scale_factors(4, 1.2)
+    m2, cost = lm.run_local_ba(
+        m, jnp.asarray(1), K, jnp.asarray(0.0), inv_s2, window=4, n_iters=8
+    )
+    # reprojection after BA is small
+    pid = np.asarray(m2.kf_obs_point[0, :half])
+    est = np.asarray(m2.pt_pos)[pid]
+    uv, _ = camera.project(K, lie.se3_apply(m2.kf_pose[0], jnp.asarray(est)))
+    err = np.linalg.norm(np.asarray(uv) - np.asarray(m2.kf_uv[0, :half]), axis=-1)
+    assert np.median(err) < 0.5

@@ -26,8 +26,20 @@ def test_fast_score_fires_on_corners_not_edges():
     assert np.isfinite(corner)
 
 
+def blob_texture(h, w, seed=0, n=120):
+    """Random bright blobs — FAST-9-friendly corners (checkerboard
+    X-corners are saddle points FAST cannot fire on)."""
+    rng = np.random.RandomState(seed)
+    img = np.zeros((h, w), np.float32)
+    for _ in range(n):
+        y, x = rng.randint(4, h - 4), rng.randint(4, w - 4)
+        r = rng.randint(2, 5)
+        img[max(0, y - r) : y + r, max(0, x - r) : x + r] = rng.uniform(80, 255)
+    return jnp.asarray(img)
+
+
 def test_detect_level_counts_and_bounds():
-    img = checkerboard(160, 192, 12)
+    img = blob_texture(160, 192)
     yx, sc, valid = orb.detect_level(img, 64)
     assert yx.shape == (64, 2)
     nvalid = int(jnp.sum(valid))

@@ -1,0 +1,121 @@
+"""End-to-end System tests on synthetic sequences (mono + RGB-D)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from orbslam2_with_quadrics_tpu.models import frontend as fe
+from orbslam2_with_quadrics_tpu.models import map_state as ms
+from orbslam2_with_quadrics_tpu.models import system as sysm
+from orbslam2_with_quadrics_tpu.utils import metrics, synthetic
+
+H, W = 240, 320
+FX = 260.0
+
+
+def make_cfg(sensor="mono", **kw):
+    return sysm.SystemConfig(
+        frontend=fe.FrontendConfig(
+            height=H, width=W, n_features=512, n_levels=4,
+            fx=FX, fy=FX, cx=W / 2, cy=H / 2,
+            bf=0.0 if sensor == "mono" else 0.1 * FX,
+        ),
+        map=ms.MapConfig(
+            max_keyframes=32, max_points=4096, n_features=512, n_levels=4
+        ),
+        sensor=sensor,
+        max_frames_between_kf=8,
+        **kw,
+    )
+
+
+def run_seq(slam, imgs, poses_gt, depths=None):
+    for i in range(len(imgs)):
+        if depths is not None:
+            slam.track_rgbd(imgs[i], depths[i], timestamp=i / 30.0)
+        else:
+            slam.track_monocular(imgs[i], timestamp=i / 30.0)
+    est, gt = [], []
+    for fid, ts, T7 in slam.full_trajectory():
+        est.append(metrics.se3_vec_to_mat(T7))
+        gt.append(poses_gt[fid])
+    return est, gt
+
+
+@pytest.fixture(scope="module")
+def planar_seq():
+    return synthetic.planar_sequence(n_frames=25, h=H, w=W, fx=FX, fy=FX, seed=3)
+
+
+def test_mono_pipeline_tracks_and_maps(planar_seq):
+    imgs, poses_gt, K = planar_seq
+    slam = sysm.System(make_cfg())
+    est, gt = run_seq(slam, imgs, poses_gt)
+    assert slam.state == sysm.System.OK
+    assert int(slam.map.n_kf) >= 2
+    assert int(slam.map.n_pt) > 50
+    assert len(est) >= 20
+    ate = metrics.ate_rmse(
+        metrics.camera_centers_from_Tcw(est), metrics.camera_centers_from_Tcw(gt)
+    )
+    span = np.linalg.norm(
+        metrics.camera_centers_from_Tcw(gt).max(0)
+        - metrics.camera_centers_from_Tcw(gt).min(0)
+    )
+    assert ate < 0.05 * span
+
+
+def test_rgbd_pipeline_metric_scale(planar_seq):
+    imgs, poses_gt, K = planar_seq
+    depths = [synthetic.planar_depth(T, K, H, W) for T in poses_gt]
+    slam = sysm.System(make_cfg(sensor="rgbd"))
+    est, gt = run_seq(slam, imgs, poses_gt, depths)
+    assert slam.state == sysm.System.OK
+    # RGB-D is metric: align WITHOUT scale
+    ate = metrics.ate_rmse(
+        metrics.camera_centers_from_Tcw(est),
+        metrics.camera_centers_from_Tcw(gt),
+        with_scale=False,
+    )
+    assert ate < 0.08
+
+
+def test_map_save_load_roundtrip(planar_seq, tmp_path):
+    from orbslam2_with_quadrics_tpu.utils import serialization
+
+    imgs, poses_gt, K = planar_seq
+    slam = sysm.System(make_cfg())
+    run_seq(slam, imgs[:15], poses_gt[:15])
+    p = str(tmp_path / "map.npz")
+    serialization.save_map(p, slam.map)
+    m2 = serialization.load_map(p)
+    assert int(m2.n_kf) == int(slam.map.n_kf)
+    np.testing.assert_array_equal(
+        np.asarray(m2.pt_valid), np.asarray(slam.map.pt_valid)
+    )
+    np.testing.assert_allclose(
+        np.asarray(m2.kf_pose), np.asarray(slam.map.kf_pose)
+    )
+
+
+def test_trajectory_export_formats(planar_seq, tmp_path):
+    from orbslam2_with_quadrics_tpu.utils import trajectory
+
+    imgs, poses_gt, K = planar_seq
+    slam = sysm.System(make_cfg())
+    run_seq(slam, imgs[:12], poses_gt[:12])
+    items = [
+        (ts, metrics.se3_vec_to_mat(T7)) for _, ts, T7 in slam.full_trajectory()
+    ]
+    ptum = str(tmp_path / "tum.txt")
+    pkit = str(tmp_path / "kitti.txt")
+    trajectory.save_tum(ptum, items)
+    trajectory.save_kitti(pkit, items)
+    tum = np.loadtxt(ptum)
+    kit = np.loadtxt(pkit)
+    assert tum.shape == (len(items), 8)
+    assert kit.shape == (len(items), 12)
+    # quaternions normalized
+    np.testing.assert_allclose(
+        np.linalg.norm(tum[:, 4:8], axis=1), 1.0, atol=1e-5
+    )
