@@ -226,13 +226,15 @@ def brief_pattern(seed: int = 7, n_pairs: int = 256):
     norm = np.linalg.norm(pts, axis=1, keepdims=True)
     lim = 13.0
     pts = np.where(norm > lim, pts * (lim / norm), pts)
-    return jnp.asarray(np.round(pts).astype(np.float32))  # [512, 2] (x, y)
+    # numpy on purpose: converting to jnp here would cache a tracer-bound
+    # constant under jit and leak it into later traces
+    return np.round(pts).astype(np.float32)  # [512, 2] (x, y)
 
 
 def brief_descriptors(img_blur, yx, angle, valid):
     """Rotated BRIEF, packed into uint32[8]
     (computeOrbDescriptor, src/ORBextractor.cc:108-147)."""
-    pat = brief_pattern()  # [512,2] (x,y)
+    pat = jnp.asarray(brief_pattern())  # [512,2] (x,y)
     ca, sa = jnp.cos(angle), jnp.sin(angle)
     # reference GET_VALUE: x' = round(x cos - y sin), y' = round(x sin + y cos)
     px, py = pat[:, 0], pat[:, 1]

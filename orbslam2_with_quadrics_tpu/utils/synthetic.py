@@ -98,6 +98,45 @@ def planar_sequence(
     return np.stack(imgs), poses, np.array([fx, fy, cx, cy])
 
 
+def render_plane(tex, T_cw, K3, h, w, plane_half=3.0):
+    """Render the textured z=0 plane from pose T_cw (4x4)."""
+    s = tex.shape[0] / (2 * plane_half)
+    S = np.array(
+        [[s, 0, tex.shape[0] / 2.0], [0, s, tex.shape[0] / 2.0], [0, 0, 1.0]]
+    )
+    R_cw = T_cw[:3, :3]
+    t_cw = T_cw[:3, 3]
+    Hwi = K3 @ np.stack([R_cw[:, 0], R_cw[:, 1], t_cw], axis=1)
+    return cv2.warpPerspective(
+        tex, Hwi @ np.linalg.inv(S), (w, h), flags=cv2.INTER_LINEAR,
+        borderMode=cv2.BORDER_WRAP,
+    )
+
+
+def stereo_right_pose(T_cw, baseline):
+    """Right-camera pose for a rectified pair: the right camera sits at +b
+    along the left camera's x-axis, so t_r = t_l - (b,0,0)."""
+    T = T_cw.copy()
+    T[0, 3] -= baseline
+    return T
+
+
+def planar_sequence_stereo(
+    n_frames=40, h=240, w=320, fx=260.0, fy=260.0, baseline=0.1, seed=0,
+    motion="strafe",
+):
+    """Stereo version: returns (imgs_l, imgs_r, poses, K)."""
+    imgs_l, poses, K = planar_sequence(
+        n_frames=n_frames, h=h, w=w, fx=fx, fy=fy, seed=seed, motion=motion
+    )
+    tex = _texture(2048, seed)
+    K3 = np.array([[K[0], 0, K[2]], [0, K[1], K[3]], [0, 0, 1.0]])
+    imgs_r = np.stack(
+        [render_plane(tex, stereo_right_pose(T, baseline), K3, h, w) for T in poses]
+    )
+    return imgs_l, imgs_r, poses, K
+
+
 def planar_depth(pose_T_cw, K, h, w):
     """Exact depth map of the z=0 plane for RGB-D tests."""
     R = pose_T_cw[:3, :3]
