@@ -505,6 +505,18 @@ class System:
         )
         return np.asarray(self.T_cw)
 
+    def keyframe_trajectory(self):
+        """(frame_id, T_cw 7-vec) per valid keyframe
+        (SaveKeyFrameTrajectoryTUM, src/System.cc:383-417)."""
+        out = []
+        kf_valid = np.asarray(self.map.kf_valid)
+        kf_pose = np.asarray(self.map.kf_pose)
+        kf_fid = np.asarray(self.map.kf_frame_id)
+        for s in range(int(self.map.n_kf)):
+            if kf_valid[s]:
+                out.append((int(kf_fid[s]), kf_pose[s]))
+        return out
+
     def full_trajectory(self):
         """Per-frame poses re-anchored on final optimized keyframe poses
         (SaveTrajectoryTUM logic, src/System.cc:322-380)."""
