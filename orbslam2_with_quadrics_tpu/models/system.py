@@ -123,6 +123,24 @@ class System:
 
     # ------------------------------------------------------------------
 
+    def reset(self):
+        """Full system reset (reference System::Reset -> Tracking::Reset,
+        src/Tracking.cc:1504-1550): clears the map, database and state."""
+        cfg = self.cfg
+        self.map = ms.empty_map(cfg.map)
+        self.state = self.NOT_INITIALIZED
+        self.velocity = lie.se3_identity()
+        self.T_cw = lie.se3_identity()
+        self.prev_obs = jnp.full((cfg.map.n_features,), -1, jnp.int32)
+        self.init_feats = None
+        self.ref_kf = 0
+        self.ref_kf_matches = 0
+        self.last_kf_frame = -999
+        self.loop_closer = None
+        self._vocab_pool = []
+        if self.quadrics is not None:
+            self.quadrics.landmarks = []
+
     def _track(self, feats, timestamp):
         cfg = self.cfg
         if self.state == self.NOT_INITIALIZED:
@@ -149,6 +167,12 @@ class System:
         )
         n_inl = int(res.n_inliers)
         if n_inl < cfg.min_inliers_track:
+            # lost right after a weak mono init -> start over
+            # (reference src/Tracking.cc:472-480)
+            if cfg.sensor == "mono" and int(self.map.n_kf) <= 5:
+                self.reset()
+                self.frame_id += 1
+                return self._record(timestamp)
             self.state = self.LOST
             self.velocity = lie.se3_identity()
             if self._relocalize(feats):

@@ -155,19 +155,15 @@ def match_by_projection(
     if r.ndim == 0:
         r = jnp.full((Q,), r)
 
-    du = jnp.abs(proj_uv[:, 0:1] - feats_uv[None, :, 0])
-    dv = jnp.abs(proj_uv[:, 1:2] - feats_uv[None, :, 1])
-    in_window = (du <= r[:, None]) & (dv <= r[:, None])
-    lvl_ok = jnp.abs(feats_level[None, :] - pred_level[:, None]) <= level_tol
-    mask = (
-        in_window
-        & lvl_ok
-        & feats_valid[None, :]
-        & proj_valid[:, None]
-    )
+    # fused Pallas kernel on TPU (streams target tiles through VMEM);
+    # dense masked argmin elsewhere
+    from . import pallas_kernels
 
-    dist = hamming_matrix(query_desc, feats_desc)
-    best_idx, best, second = best_two(dist, mask)
+    best_idx, best, second = pallas_kernels.masked_hamming_best2(
+        query_desc, proj_uv, r, pred_level, proj_valid,
+        feats_desc, feats_uv, feats_level, feats_valid,
+        level_tol=level_tol,
+    )
 
     ok = (best <= th) & (
         best.astype(jnp.float32) <= ratio * second.astype(jnp.float32)
