@@ -62,7 +62,10 @@ class LoopCloser:
             # (LoopClosing.cc:110-115)
             return []
         W = np.asarray(ms.covisibility(m))
-        covis = W[slot] > 0
+        # the reference's covisible set is the *connected graph* (weight
+        # >= 15, KeyFrame::UpdateConnections src/KeyFrame.cc:295-385) —
+        # weakly re-observed places must stay eligible as loop candidates
+        covis = W[slot] >= 15
         scores, common = score_database(
             self.bow, self.bow[slot], m.kf_valid
         )
@@ -92,7 +95,7 @@ class LoopCloser:
         consistent_enough = []
         new_groups = []
         for c in cands:
-            group = set(np.where(W[c] > 0)[0].tolist()) | {int(c)}
+            group = set(np.where(W[c] >= 15)[0].tolist()) | {int(c)}
             best = 0
             for prev_group, cnt in self.consistency:
                 if group & prev_group:

@@ -40,12 +40,16 @@ class SystemConfig:
     local_ba_window: int = 16
     depth_factor: float = 1.0       # RGB-D depth map scaling
     enable_loop_closing: bool = False
-    vocab_k: int = 8                # lazily-trained vocabulary branching
-    vocab_levels: int = 3
+    vocab_k: int = 10               # lazily-trained vocabulary branching
+    vocab_levels: int = 4           # 10^4 words (BoW discrimination needs
+                                    # head-room over the per-frame word count)
     vocab_train_kfs: int = 4        # train once this many KFs accumulated
     enable_quadrics: bool = False
     quadric_min_points: int = 15    # QuadricLandmark validity gate
                                     # (reference QuadricLandmark.cc:128-147)
+    n_local_kf: int = 64            # local-map window (ref cap 80,
+                                    # src/Tracking.cc:1285)
+    n_local_pt: int = 4096          # local point budget for tracking
 
 
 class System:
@@ -164,6 +168,8 @@ class System:
             width=cfg.frontend.width,
             n_levels=cfg.frontend.n_levels,
             scale=cfg.frontend.scale_factor,
+            n_local_kf=min(cfg.n_local_kf, cfg.map.max_keyframes),
+            n_local_pt=min(cfg.n_local_pt, cfg.map.max_points),
         )
         n_inl = int(res.n_inliers)
         if n_inl < cfg.min_inliers_track:

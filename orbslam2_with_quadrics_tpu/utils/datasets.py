@@ -55,6 +55,22 @@ def load_kitti_stereo(seq_dir: str):
     return times, lefts, rights
 
 
+def load_euroc_mono(seq_dir: str, cam: str = "cam0"):
+    """EuRoC MAV layout: mav0/cam0/data.csv + data/<ts>.png
+    (reference Examples/Monocular/mono_euroc.cc LoadImages)."""
+    import csv
+
+    base = os.path.join(seq_dir, "mav0", cam)
+    out = []
+    with open(os.path.join(base, "data.csv")) as f:
+        for row in csv.reader(f):
+            if not row or row[0].startswith("#"):
+                continue
+            ts_ns, fname = row[0], row[1].strip()
+            out.append((float(ts_ns) * 1e-9, os.path.join(base, "data", fname)))
+    return out
+
+
 def load_gray(path: str) -> np.ndarray:
     import cv2
 

@@ -43,8 +43,14 @@ def planar_sequence(
     motion: str = "strafe",
     plane_half: float = 3.0,
     tex_size: int = 2048,
+    relief: bool = False,
 ):
     """Camera viewing a textured plane z=0 from distance ~2.5.
+
+    ``relief=True`` adds a raised textured platform (z=0.8, central
+    [-1.2,1.2]^2): perfectly planar scenes leave the homography
+    decomposition two-fold ambiguous, so monocular init (correctly)
+    refuses them at small baselines — real scenes have depth structure.
 
     Returns (imgs [T,H,W] float32, poses_true list of 4x4 T_cw, K [4]).
     """
@@ -55,6 +61,11 @@ def planar_sequence(
     # world plane [-ph, ph]^2 -> texture pixels
     s = tex_size / (2 * plane_half)
     S = np.array([[s, 0, tex_size / 2.0], [0, s, tex_size / 2.0], [0, 0, 1.0]])
+    relief_tex = _texture(512, seed + 77) if relief else None
+    relief_half, relief_z = 1.2, 0.8
+    Sr = np.array(
+        [[512 / (2 * relief_half), 0, 256.0], [0, 512 / (2 * relief_half), 256.0], [0, 0, 1.0]]
+    )
 
     imgs, poses = [], []
     rng = np.random.RandomState(seed + 1)
@@ -75,6 +86,27 @@ def planar_sequence(
             tz = 2.5
             yaw = 0.10 * np.sin(ang)
             pitch = 0.0
+        elif motion == "out_and_back":
+            # long excursion that leaves the start area entirely, then
+            # returns: early map points leave view mid-sequence, so the
+            # return is only reconnectable by loop closure
+            # reach >> view half-width disconnects the map without hitting
+            # the texture's wrap period (2*plane_half); use plane_half >= 8.
+            # Phase 1 (15%): slow start at home so mono init produces
+            # keyframes THERE; phase 2: excursion out and back; phase 3
+            # (20%): dwell at home for the loop detector.
+            reach = plane_half
+            if u < 0.15:
+                tx = 2.5 * u                       # 0 -> 0.375
+            elif u < 0.8:
+                v = (u - 0.15) / 0.65
+                tx = 0.375 + (reach - 0.375) * np.sin(np.pi * v)
+            else:
+                tx = 0.375 + 0.05 * (u - 0.8) / 0.2
+            ty = 0.1 * np.sin(4 * np.pi * u)
+            tz = 2.5
+            yaw = 0.0
+            pitch = 0.0
         else:
             raise ValueError(motion)
 
@@ -90,6 +122,17 @@ def planar_sequence(
         img = cv2.warpPerspective(
             tex, Hti, (w, h), flags=cv2.INTER_LINEAR, borderMode=cv2.BORDER_WRAP
         )
+        if relief:
+            # raised plane z = relief_z: x ~ K [r1, r2, r3*z + t] (X,Y,1)
+            Hr = K @ np.stack(
+                [R_cw[:, 0], R_cw[:, 1], R_cw[:, 2] * relief_z + t_cw], axis=1
+            )
+            Hrt = Hr @ np.linalg.inv(Sr)
+            top = cv2.warpPerspective(
+                relief_tex, Hrt, (w, h), flags=cv2.INTER_LINEAR,
+                borderMode=cv2.BORDER_CONSTANT, borderValue=-1.0,
+            )
+            img = np.where(top >= 0, top, img).astype(np.float32)
         T = np.eye(4)
         T[:3, :3] = R_cw
         T[:3, 3] = t_cw
