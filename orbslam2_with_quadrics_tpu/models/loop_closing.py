@@ -74,11 +74,12 @@ class LoopCloser:
         # min score among covisible neighbors (LoopClosing.cc:121-138)
         nb = np.where(covis & (np.arange(len(covis)) != slot))[0]
         min_score = float(scores[nb].min()) if len(nb) else 0.5
-        # candidates: not covisible, not recent, enough common words
+        # candidates: not covisible, above the covisible-score floor
+        # (the reference's only structural exclusions: connected KFs and
+        # the post-closure cooldown handled above)
         cand_mask = (
             (~covis)
             & (np.arange(len(scores)) != slot)
-            & (np.abs(np.arange(len(scores)) - slot) > 5)
             & (scores >= max(min_score, 0.0))
         )
         if not cand_mask.any():

@@ -92,17 +92,13 @@ def planar_sequence(
             # return is only reconnectable by loop closure
             # reach >> view half-width disconnects the map without hitting
             # the texture's wrap period (2*plane_half); use plane_half >= 8.
-            # Phase 1 (15%): slow start at home so mono init produces
-            # keyframes THERE; phase 2: excursion out and back; phase 3
-            # (20%): dwell at home for the loop detector.
+            # C1-smooth profile (constant-velocity prediction must track):
+            # sin^2 ramps out and back by u=0.85, then dwells at home so
+            # the loop detector has keyframes of overlap with the start.
             reach = plane_half
-            if u < 0.15:
-                tx = 2.5 * u                       # 0 -> 0.375
-            elif u < 0.8:
-                v = (u - 0.15) / 0.65
-                tx = 0.375 + (reach - 0.375) * np.sin(np.pi * v)
-            else:
-                tx = 0.375 + 0.05 * (u - 0.8) / 0.2
+            v = min(u / 0.85, 1.0)
+            tx = reach * np.sin(np.pi * v) ** 2
+            tx += 0.05 * max(u - 0.85, 0.0) / 0.15
             ty = 0.1 * np.sin(4 * np.pi * u)
             tz = 2.5
             yaw = 0.0

@@ -118,6 +118,44 @@ def _mat_quat(R):
     return np.asarray([qw, qx, qy, qz])
 
 
+def test_relocalization_after_kidnap():
+    """Feed noise frames to force LOST, then return to a known view —
+    the BoW+PnP relocalization must recover (reference
+    src/Tracking.cc:1341-1502)."""
+    rng = np.random.RandomState(3)
+    imgs, poses_gt, K = synthetic.planar_sequence(
+        n_frames=30, h=H, w=W, fx=FX, fy=FX, seed=9, relief=True
+    )
+    cfg = make_cfg(enable_loop_closing=True)  # trains the vocabulary
+    cfg = sysm.SystemConfig(
+        **{**cfg.__dict__, "vocab_train_kfs": 2, "max_frames_between_kf": 2}
+    )
+    slam = sysm.System(cfg)
+    for i in range(30):
+        slam.track_monocular(imgs[i], timestamp=i / 30.0)
+    assert slam.state == sysm.System.OK
+    # need >5 KFs or the lost-after-weak-init auto-reset wipes the map
+    assert int(slam.map.n_kf) > 5
+    assert slam.loop_closer is not None
+    T_before = np.asarray(slam.T_cw)
+
+    # kidnap: white noise frames
+    for k in range(3):
+        slam.track_monocular(
+            rng.rand(H, W).astype(np.float32) * 255.0, timestamp=1.0 + k
+        )
+    assert slam.state == sysm.System.LOST
+
+    # return to a previously-seen view
+    recovered = False
+    for i in range(16, 26):
+        slam.track_monocular(imgs[i], timestamp=2.0 + i / 30.0)
+        if slam.state == sysm.System.OK:
+            recovered = True
+            break
+    assert recovered
+
+
 def test_loop_closing_on_orbit():
     imgs, poses_gt, K = synthetic.planar_sequence(
         n_frames=40, h=H, w=W, fx=FX, fy=FX, seed=7, motion="orbit_loop"
