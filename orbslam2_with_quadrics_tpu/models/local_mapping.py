@@ -313,15 +313,18 @@ def cull_keyframes(m: ms.MapState, kf_id):
     )
 
 
-@partial(jax.jit, static_argnames=("window", "n_iters"))
+@partial(jax.jit, static_argnames=("window", "n_iters", "boundary"))
 def run_local_ba(m: ms.MapState, kf_id, Kc, bf, inv_sigma2_tab, window: int = 16,
-                 n_iters: int = 10):
+                 n_iters: int = 10, boundary: int = 32):
     """Local BA over the covisibility window of ``kf_id``
     (Optimizer::LocalBundleAdjustment, src/Optimizer.cc:453-778).
 
-    All keyframes enter as cameras; only the covisibility window is free
-    (everything else is the reference's 'fixed boundary'); only points
-    observed by the window are free. Edge list = the full [K,N] obs table.
+    The problem is gathered to a compact camera set — the free window
+    (top-``window`` covisible + self) plus up to ``boundary`` fixed
+    keyframes that co-observe the window's points (the reference's fixed
+    boundary, src/Optimizer.cc:490-504) — so edge count is O(C*N), not
+    O(K*N), and cost is independent of total map size. Only points seen
+    by the window are free.
     """
     K, N = m.kf_obs_point.shape
     P = m.pt_pos.shape[0]
@@ -331,13 +334,11 @@ def run_local_ba(m: ms.MapState, kf_id, Kc, bf, inv_sigma2_tab, window: int = 16
     w_w, w_ids = jax.lax.top_k(W[kf_id], n_w)
     in_window = jnp.zeros((K,), bool).at[w_ids].set(w_w > 0).at[kf_id].set(True)
     in_window = in_window & m.kf_valid
-    # gauge: keyframe 0 always fixed (src/Optimizer.cc:79,506)
-    fixed_cam = (~in_window) | (jnp.arange(K) == 0)
 
     obs = m.kf_obs_point
     okobs = (obs >= 0) & m.kf_kp_valid & m.kf_valid[:, None]
-    pnt = jnp.clip(obs, 0, P - 1)
-    okobs = okobs & m.pt_valid[pnt.reshape(-1)].reshape(K, N)
+    pnt_full = jnp.clip(obs, 0, P - 1)
+    okobs = okobs & m.pt_valid[pnt_full.reshape(-1)].reshape(K, N)
 
     # free points = observed by a window keyframe
     seen = jnp.zeros((P + 1,), bool)
@@ -346,28 +347,65 @@ def run_local_ba(m: ms.MapState, kf_id, Kc, bf, inv_sigma2_tab, window: int = 16
     ].set(True)[:P]
     fixed_pnt = ~seen
 
-    cam_idx = jnp.broadcast_to(
-        jnp.arange(K, dtype=jnp.int32)[:, None], (K, N)
-    ).reshape(-1)
-    uvr = jnp.concatenate(
-        [m.kf_uv, jnp.where(m.kf_ur > 0, m.kf_ur, 0.0)[..., None]], axis=-1
+    # boundary = non-window KFs observing window points, ranked by overlap
+    overlap = jnp.sum(
+        jnp.where(okobs, seen[pnt_full.reshape(-1)].reshape(K, N), False),
+        axis=1,
+    )
+    overlap = jnp.where(in_window | ~m.kf_valid, -1, overlap)
+    n_b = min(boundary, K)
+    b_w, b_ids = jax.lax.top_k(overlap, n_b)
+
+    # compact camera set: window slots then boundary slots (invalid ones
+    # keep harmless gathered rows but are masked out of all edges)
+    cams = jnp.concatenate([w_ids, jnp.asarray([kf_id]), b_ids])  # [C]
+    C = cams.shape[0]
+    cam_ok = jnp.concatenate(
+        [(w_w > 0) & (w_ids != kf_id), jnp.asarray([True]), b_w > 0]
+    ) & m.kf_valid[cams]
+    # dedupe among VALID rows only (top_k pads sparse covisibility rows
+    # with arbitrary slot ids — a masked filler must never shadow the
+    # real entry for the same slot)
+    first_hit = jnp.full((K + 1,), -1, jnp.int32)
+    first_hit = first_hit.at[
+        jnp.flip(jnp.where(cam_ok, cams, K))
+    ].set(jnp.flip(jnp.arange(C, dtype=jnp.int32)), mode="drop")
+    cam_ok = cam_ok & (first_hit[jnp.clip(cams, 0, K)] == jnp.arange(C))
+    fixed_cam = jnp.concatenate(
+        [jnp.zeros((n_w + 1,)), jnp.ones((n_b,))]
+    ) + (cams == 0)  # global gauge: keyframe 0 fixed (src/Optimizer.cc:79)
+    # masked rows (invalid slots / dedupe losers) have no edges — they must
+    # be "fixed" so their Hessian block is the identity, not epsilon
+    # (an epsilon block explodes the block-Jacobi CG preconditioner)
+    fixed_cam = jnp.clip(fixed_cam + (~cam_ok), 0.0, 1.0)
+
+    # gather compact edge table [C,N]
+    g_obs = obs[cams]
+    g_ok = okobs[cams] & cam_ok[:, None]
+    g_pnt = jnp.clip(g_obs, 0, P - 1)
+    g_uvr = jnp.concatenate(
+        [m.kf_uv[cams], jnp.where(m.kf_ur[cams] > 0, m.kf_ur[cams], 0.0)[..., None]],
+        axis=-1,
     ).reshape(-1, 3)
-    is_stereo = (m.kf_ur > 0).reshape(-1).astype(jnp.float32)
-    inv_s2 = inv_sigma2_tab[
-        jnp.clip(m.kf_level, 0, inv_sigma2_tab.shape[0] - 1)
+    g_stereo = (m.kf_ur[cams] > 0).reshape(-1).astype(jnp.float32)
+    g_is2 = inv_sigma2_tab[
+        jnp.clip(m.kf_level[cams], 0, inv_sigma2_tab.shape[0] - 1)
     ].reshape(-1)
+    cam_idx = jnp.broadcast_to(
+        jnp.arange(C, dtype=jnp.int32)[:, None], (C, N)
+    ).reshape(-1)
 
     prob = ba.BAProblem(
-        poses=m.kf_pose,
+        poses=m.kf_pose[cams],
         points=m.pt_pos,
         K=Kc,
         bf=bf,
         cam_idx=cam_idx,
-        pnt_idx=pnt.reshape(-1),
-        uvr=uvr,
-        is_stereo=is_stereo,
-        inv_sigma2=inv_s2,
-        valid=okobs.reshape(-1).astype(jnp.float32),
+        pnt_idx=g_pnt.reshape(-1),
+        uvr=g_uvr,
+        is_stereo=g_stereo,
+        inv_sigma2=g_is2,
+        valid=g_ok.reshape(-1).astype(jnp.float32),
         fixed_cam=fixed_cam.astype(jnp.float32),
         fixed_pnt=fixed_pnt.astype(jnp.float32),
     )
@@ -376,12 +414,20 @@ def run_local_ba(m: ms.MapState, kf_id, Kc, bf, inv_sigma2_tab, window: int = 16
     prob = prob._replace(valid=prob.valid * inl.astype(jnp.float32))
     prob, cost = ba.ba_solve(prob, n_iters=n_iters, cg_iters=30, use_huber=False)
 
-    # write back + drop outlier observations (src/Optimizer.cc:746-777):
-    # final chi2 check over every originally-valid edge
-    _, inl2 = ba.edge_chi2(
-        prob._replace(valid=okobs.reshape(-1).astype(jnp.float32))
+    # scatter back: window poses (free, deduped cams only — masked rows
+    # are dropped so duplicate slots cannot race), all points
+    upd = cam_ok & (fixed_cam < 0.5)
+    kf_pose = m.kf_pose.at[jnp.where(upd, cams, K)].set(
+        prob.poses, mode="drop"
     )
-    obs_new = jnp.where(okobs & ~inl2.reshape(K, N), -1, obs)
+
+    # drop outlier observations among the gathered rows
+    # (src/Optimizer.cc:746-777)
+    _, inl2 = ba.edge_chi2(
+        prob._replace(valid=g_ok.reshape(-1).astype(jnp.float32))
+    )
+    g_obs_new = jnp.where(g_ok & ~inl2.reshape(C, N), -1, g_obs)
+    obs_new = obs.at[jnp.where(cam_ok, cams, K)].set(g_obs_new, mode="drop")
     return m._replace(
-        kf_pose=prob.poses, pt_pos=prob.points, kf_obs_point=obs_new
+        kf_pose=kf_pose, pt_pos=prob.points, kf_obs_point=obs_new
     ), cost
