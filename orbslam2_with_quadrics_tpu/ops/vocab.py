@@ -144,6 +144,34 @@ def _transform_impl(centers, desc, valid, k: int, levels: int):
     return word, jnp.where(valid, mid, -1)
 
 
+def save(path: str, voc: Vocabulary) -> None:
+    """Persist a trained vocabulary (replaces the reference's ORBvoc.txt
+    text format, TemplatedVocabulary::loadFromTextFile)."""
+    import numpy as np
+
+    np.savez_compressed(
+        path,
+        k=voc.k,
+        levels=voc.levels,
+        idf=np.asarray(voc.idf),
+        **{f"centers_{i}": np.asarray(c) for i, c in enumerate(voc.centers)},
+    )
+
+
+def load(path: str) -> Vocabulary:
+    import numpy as np
+
+    data = np.load(path)
+    k = int(data["k"])
+    levels = int(data["levels"])
+    centers = tuple(
+        jnp.asarray(data[f"centers_{i}"]) for i in range(levels)
+    )
+    return Vocabulary(
+        centers=centers, idf=jnp.asarray(data["idf"]), k=k, levels=levels
+    )
+
+
 def transform(voc: Vocabulary, desc, valid):
     """[N,8] descriptors -> (word ids [N], mid-level node ids [N]); -1 pad."""
     return _transform_impl(voc.centers, desc, valid, voc.k, voc.levels)
