@@ -21,3 +21,95 @@ def load_map(path: str) -> ms.MapState:
 
     data = np.load(path)
     return ms.MapState(**{k: jnp.asarray(data[k]) for k in ms.MapState._fields})
+
+
+def save_system(path: str, slam) -> None:
+    """Checkpoint the full System: map + tracking state + trajectory +
+    vocabulary + quadric landmarks (the reference's unimplemented
+    SaveMap TODO, include/System.h:115-117, extended to a full resume)."""
+    import pickle
+
+    state = {
+        "map": {k: np.asarray(v) for k, v in slam.map._asdict().items()},
+        "state": slam.state,
+        "frame_id": slam.frame_id,
+        "T_cw": np.asarray(slam.T_cw),
+        "velocity": np.asarray(slam.velocity),
+        "prev_obs": np.asarray(slam.prev_obs),
+        "ref_kf": slam.ref_kf,
+        "ref_kf_matches": slam.ref_kf_matches,
+        "last_kf_frame": slam.last_kf_frame,
+        "trajectory": slam.trajectory,
+        "metrics": slam.metrics,
+        "quadrics": [
+            {
+                "class_id": lm.class_id,
+                "kf_slots": lm.kf_slots,
+                "bboxes": [np.asarray(b) for b in lm.bboxes],
+                "point_ids": sorted(lm.point_ids),
+                "initialized": lm.initialized,
+                "pose": lm.pose,
+                "scale": lm.scale,
+            }
+            for lm in (slam.quadrics.landmarks if slam.quadrics else [])
+        ],
+    }
+    if slam.loop_closer is not None:
+        state["bow"] = np.asarray(slam.loop_closer.bow)
+        state["words"] = np.asarray(slam.loop_closer.words)
+        state["vocab"] = {
+            "k": slam.loop_closer.voc.k,
+            "levels": slam.loop_closer.voc.levels,
+            "idf": np.asarray(slam.loop_closer.voc.idf),
+            "centers": [np.asarray(c) for c in slam.loop_closer.voc.centers],
+        }
+    with open(path, "wb") as f:
+        pickle.dump(state, f)
+
+
+def load_system(path: str, slam) -> None:
+    """Restore a checkpoint into an already-constructed System (same
+    configs). Mutates ``slam`` in place."""
+    import pickle
+
+    import jax.numpy as jnp
+
+    with open(path, "rb") as f:
+        state = pickle.load(f)
+    slam.map = ms.MapState(
+        **{k: jnp.asarray(v) for k, v in state["map"].items()}
+    )
+    slam.state = state["state"]
+    slam.frame_id = state["frame_id"]
+    slam.T_cw = jnp.asarray(state["T_cw"])
+    slam.velocity = jnp.asarray(state["velocity"])
+    slam.prev_obs = jnp.asarray(state["prev_obs"])
+    slam.ref_kf = state["ref_kf"]
+    slam.ref_kf_matches = state["ref_kf_matches"]
+    slam.last_kf_frame = state["last_kf_frame"]
+    slam.trajectory = state["trajectory"]
+    slam.metrics = state["metrics"]
+    if slam.quadrics is not None and state.get("quadrics"):
+        from ..models.quadric_mapping import QuadricLandmark
+
+        slam.quadrics.landmarks = [
+            QuadricLandmark(
+                class_id=q["class_id"], kf_slots=q["kf_slots"],
+                bboxes=list(q["bboxes"]), point_ids=set(q["point_ids"]),
+                initialized=q["initialized"], pose=q["pose"], scale=q["scale"],
+            )
+            for q in state["quadrics"]
+        ]
+    if "vocab" in state:
+        from ..models.loop_closing import LoopCloser
+        from ..ops.vocab import Vocabulary
+
+        voc = Vocabulary(
+            centers=tuple(jnp.asarray(c) for c in state["vocab"]["centers"]),
+            idf=jnp.asarray(state["vocab"]["idf"]),
+            k=state["vocab"]["k"],
+            levels=state["vocab"]["levels"],
+        )
+        slam.loop_closer = LoopCloser(voc, slam.cfg.map)
+        slam.loop_closer.bow = jnp.asarray(state["bow"])
+        slam.loop_closer.words = jnp.asarray(state["words"])

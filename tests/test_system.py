@@ -98,6 +98,28 @@ def test_map_save_load_roundtrip(planar_seq, tmp_path):
     )
 
 
+def test_system_checkpoint_resume(planar_seq, tmp_path):
+    """Full checkpoint mid-sequence; the restored System keeps tracking."""
+    from orbslam2_with_quadrics_tpu.utils import serialization
+
+    imgs, poses_gt, K = planar_seq
+    slam = sysm.System(make_cfg())
+    for i in range(15):
+        slam.track_monocular(imgs[i], timestamp=i / 30.0)
+    assert slam.state == sysm.System.OK
+    p = str(tmp_path / "ckpt.pkl")
+    serialization.save_system(p, slam)
+
+    slam2 = sysm.System(make_cfg())
+    serialization.load_system(p, slam2)
+    assert slam2.state == sysm.System.OK
+    assert int(slam2.map.n_kf) == int(slam.map.n_kf)
+    for i in range(15, 25):
+        slam2.track_monocular(imgs[i], timestamp=i / 30.0)
+    assert slam2.state == sysm.System.OK
+    assert len(slam2.trajectory) == 25
+
+
 def test_trajectory_export_formats(planar_seq, tmp_path):
     from orbslam2_with_quadrics_tpu.utils import trajectory
 
