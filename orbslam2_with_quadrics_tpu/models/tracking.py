@@ -115,21 +115,30 @@ def track_frame(
         axis=-1,
     )
     lvl_a = _predict_scale(dist_a, m.pt_max_dist[qa_ids], scale, n_levels)
-    mi, md = matching.match_by_projection(
-        proj_uv=uv_a,
-        proj_valid=qa_ok & in_img_a,
-        pred_level=lvl_a,
-        query_desc=m.pt_desc[qa_ids],
-        query_angle=jnp.zeros((N,)),
-        feats_uv=feats.uv_und,
-        feats_level=feats.level,
-        feats_desc=feats.desc,
-        feats_angle=feats.angle,
-        feats_valid=feats.valid,
-        radius=motion_radius,
-        scale_factors=sf,
-        th=matching.TH_HIGH,
-    )
+
+    def match_a(radius):
+        return matching.match_by_projection(
+            proj_uv=uv_a,
+            proj_valid=qa_ok & in_img_a,
+            pred_level=lvl_a,
+            query_desc=m.pt_desc[qa_ids],
+            query_angle=jnp.zeros((N,)),
+            feats_uv=feats.uv_und,
+            feats_level=feats.level,
+            feats_desc=feats.desc,
+            feats_angle=feats.angle,
+            feats_valid=feats.valid,
+            radius=radius,
+            scale_factors=sf,
+            th=matching.TH_HIGH,
+        )
+
+    mi, md = match_a(motion_radius)
+    # widened retry when matches are scarce (reference doubles th and
+    # retries, src/Tracking.cc:888-896)
+    mi_w, _ = match_a(2.0 * motion_radius)
+    scarce = jnp.sum((mi >= 0).astype(jnp.int32)) < 20
+    mi = jnp.where(scarce, mi_w, mi)
     # kp -> point map from stage A
     obs_a = jnp.full((N,), -1, jnp.int32)
     obs_a = obs_a.at[jnp.where(mi >= 0, mi, N)].set(
