@@ -1,10 +1,6 @@
-"""Monocular TUM driver (reference Examples/Monocular/mono_tum.cc).
+"""Monocular EuRoC driver (reference Examples/Monocular/mono_euroc.cc).
 
-Usage: python examples/mono_tum.py <settings.yaml> <sequence_dir> [traj_out]
-
-The reference CLI is `mono_tum vocab settings sequence`; the vocabulary
-argument is gone because the vocabulary is trained from the sequence
-itself (see models/system.py _maybe_train_vocab).
+Usage: python examples/mono_euroc.py <settings.yaml> <mav_seq_dir> [traj_out]
 """
 
 import os
@@ -21,18 +17,17 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
 
 def main(settings_path, seq_dir, traj_out="trajectory_tum.txt"):
+    import cv2
     import numpy as np
 
     from orbslam2_with_quadrics_tpu.models import map_state as ms
     from orbslam2_with_quadrics_tpu.models import system as sysm
     from orbslam2_with_quadrics_tpu.native import AsyncImageLoader
-    from orbslam2_with_quadrics_tpu.utils import config, datasets, metrics, trajectory
+    from orbslam2_with_quadrics_tpu.utils import config, datasets, metrics, trajectory, viz
 
     settings = config.load_settings(settings_path)
-    rgb = datasets.load_tum_rgb_list(seq_dir)
-    import cv2
-
-    probe = cv2.imread(rgb[0][1], cv2.IMREAD_GRAYSCALE)
+    items = datasets.load_euroc_mono(seq_dir)
+    probe = cv2.imread(items[0][1], cv2.IMREAD_GRAYSCALE)
     h, w = probe.shape
     fcfg = config.frontend_config_from_settings(settings, h, w)
     cfg = sysm.SystemConfig(
@@ -48,26 +43,20 @@ def main(settings_path, seq_dir, traj_out="trajectory_tum.txt"):
     slam = sysm.System(cfg)
 
     times = []
-    with AsyncImageLoader([p for _, p in rgb], n_threads=2) as loader:
-        for (ts, _), (img, _) in zip(rgb, loader):
+    with AsyncImageLoader([p for _, p in items], n_threads=2) as loader:
+        for (ts, _), (img, _) in zip(items, loader):
             t0 = time.perf_counter()
             slam.track_monocular(img, timestamp=ts)
             times.append(time.perf_counter() - t0)
 
-    from orbslam2_with_quadrics_tpu.utils import viz
-
-    items = [
+    out = [
         (ts, metrics.se3_vec_to_mat(T7)) for _, ts, T7 in slam.full_trajectory()
     ]
-    trajectory.save_tum(traj_out, items)
+    trajectory.save_tum(traj_out, out)
     viz.save_metrics_jsonl(traj_out + ".metrics.jsonl", slam.metrics)
     times = np.asarray(times)
-    # median/mean tracking time report, like the reference driver
-    # (Examples/Monocular/mono_tum.cc:120-129)
     print(f"median tracking time: {np.median(times):.4f}")
     print(f"mean tracking time: {times.mean():.4f}")
-    print(f"keyframes: {int(slam.map.n_kf)} points: {int(slam.map.n_pt)} "
-          f"loops: {slam.n_loops_closed}")
     print(f"trajectory saved to {traj_out}")
 
 

@@ -134,11 +134,15 @@ def track_frame(
         )
 
     mi, md = match_a(motion_radius)
-    # widened retry when matches are scarce (reference doubles th and
-    # retries, src/Tracking.cc:888-896)
-    mi_w, _ = match_a(2.0 * motion_radius)
+    # widened retry only when matches are scarce (reference doubles th
+    # and retries, src/Tracking.cc:888-896); lax.cond skips the second
+    # matching sweep on the common path
     scarce = jnp.sum((mi >= 0).astype(jnp.int32)) < 20
-    mi = jnp.where(scarce, mi_w, mi)
+    mi = jax.lax.cond(
+        scarce,
+        lambda: match_a(2.0 * motion_radius)[0],
+        lambda: mi,
+    )
     # kp -> point map from stage A
     obs_a = jnp.full((N,), -1, jnp.int32)
     obs_a = obs_a.at[jnp.where(mi >= 0, mi, N)].set(
