@@ -94,6 +94,14 @@ class System:
             )
         self._pending_detections = None
         self.frames_since_reloc = 999
+        # localization-only mode (System::ActivateLocalizationMode,
+        # src/System.cc:127-145 -> Tracking::InformOnlyTracking)
+        self.only_tracking = False
+        # big-change counter for MapChanged() (reference Map::mnBigChangeIdx,
+        # src/Map.cc:70-80, read by System::MapChanged src/System.cc:282-293)
+        self._big_change_idx = 0
+        self._last_big_change_idx = 0
+        self.last_feats = None
 
     # ------------------------------------------------------------------
     # public per-frame entries
@@ -103,11 +111,18 @@ class System:
         """detections: optional [D,6] (x,y,w,h,prob,class) object boxes for
         the quadric pipeline (reference offline-detection format,
         matrix_utils.h:49-54)."""
+        assert self.cfg.sensor == "mono", (
+            "called track_monocular but sensor is not mono "
+            "(reference System::TrackMonocular sensor check, src/System.cc:220-224)"
+        )
         self._pending_detections = detections
         feats = fe.extract_mono(self.cfg.frontend, jnp.asarray(img, jnp.float32))
         return self._track(feats, timestamp)
 
     def track_rgbd(self, img, depth, timestamp=0.0, detections=None):
+        assert self.cfg.sensor == "rgbd", (
+            "called track_rgbd but sensor is not rgbd (src/System.cc:169-173)"
+        )
         self._pending_detections = detections
         feats = fe.extract_rgbd(
             self.cfg.frontend,
@@ -117,6 +132,9 @@ class System:
         return self._track(feats, timestamp)
 
     def track_stereo(self, img_l, img_r, timestamp=0.0, detections=None):
+        assert self.cfg.sensor == "stereo", (
+            "called track_stereo but sensor is not stereo (src/System.cc:118-122)"
+        )
         self._pending_detections = detections
         feats = fe.extract_stereo(
             self.cfg.frontend,
@@ -124,6 +142,60 @@ class System:
             jnp.asarray(img_r, jnp.float32),
         )
         return self._track(feats, timestamp)
+
+    # ------------------------------------------------------------------
+    # mode switches / status getters (reference include/System.h:80-123)
+    # ------------------------------------------------------------------
+
+    def activate_localization_mode(self):
+        """Stop map building; camera tracking only
+        (System::ActivateLocalizationMode, src/System.cc:270-274 ->
+        Tracking::InformOnlyTracking(true), src/Tracking.cc:1585-1588).
+        With no mapping thread to stop, this is just a flag: keyframe
+        insertion and all local-mapping work are skipped while set."""
+        self.only_tracking = True
+
+    def deactivate_localization_mode(self):
+        """Resume SLAM (System::DeactivateLocalizationMode,
+        src/System.cc:276-280)."""
+        self.only_tracking = False
+
+    def map_changed(self):
+        """True if a big map change (loop closure / global BA / reset)
+        happened since the last call (System::MapChanged,
+        src/System.cc:282-293; counter Map::mnBigChangeIdx, src/Map.cc:70-80)."""
+        changed = self._big_change_idx != self._last_big_change_idx
+        self._last_big_change_idx = self._big_change_idx
+        return changed
+
+    def shutdown(self):
+        """Flush all in-flight device work (System::Shutdown joins the
+        worker threads, src/System.cc:301-320; here the only async party is
+        JAX's dispatch queue). Call before saving trajectories, as the
+        reference requires."""
+        jax.block_until_ready(self.map.kf_pose)
+        jax.block_until_ready(self.T_cw)
+
+    def get_tracking_state(self):
+        """NOT_INITIALIZED / OK / LOST (System::GetTrackingState,
+        src/System.cc:474-478)."""
+        return self.state
+
+    def get_tracked_map_points(self):
+        """Map-point ids observed by the most recent frame, with their world
+        positions (System::GetTrackedMapPoints, src/System.cc:480-484
+        returns MapPoint pointers; ids+positions are the pytree analogue)."""
+        obs = np.asarray(self.prev_obs)
+        ids = obs[obs >= 0]
+        return ids, np.asarray(self.map.pt_pos)[ids]
+
+    def get_tracked_keypoints_un(self):
+        """Undistorted keypoints of the most recent frame
+        (System::GetTrackedKeyPointsUn, src/System.cc:486-490)."""
+        if self.last_feats is None:
+            return np.zeros((0, 2), np.float32)
+        valid = np.asarray(self.last_feats.valid)
+        return np.asarray(self.last_feats.uv_und)[valid]
 
     # ------------------------------------------------------------------
 
@@ -144,9 +216,11 @@ class System:
         self._vocab_pool = []
         if self.quadrics is not None:
             self.quadrics.landmarks = []
+        self._big_change_idx += 1
 
     def _track(self, feats, timestamp):
         cfg = self.cfg
+        self.last_feats = feats
         if self.state == self.NOT_INITIALIZED:
             if cfg.sensor == "mono":
                 self._mono_init(feats, timestamp)
@@ -202,7 +276,9 @@ class System:
         # tracking statistics for point culling
         self.map = _bump_stats(self.map, res.visible_pt, res.found_pt)
 
-        if self._need_new_keyframe(n_inl, feats):
+        # localization-only mode never inserts keyframes
+        # (src/Tracking.cc:809 mbOnlyTracking gate in NeedNewKeyFrame)
+        if not self.only_tracking and self._need_new_keyframe(n_inl, feats):
             self._insert_keyframe(feats, res)
 
         self.frame_id += 1
@@ -291,6 +367,7 @@ class System:
                     )
                     if ok:
                         self.n_loops_closed += 1
+                        self._big_change_idx += 1
                         # global refinement after the essential graph
                         # (RunGlobalBundleAdjustment, LoopClosing.cc:645-749)
                         self.map, _ = lm.run_local_ba(
@@ -558,6 +635,36 @@ class System:
             )
             out.append((fid, ts, T))
         return out
+
+    # file savers matching the reference's System::Save* (src/System.cc:322-472)
+
+    def save_trajectory_tum(self, path: str):
+        from ..utils import metrics, trajectory
+
+        trajectory.save_tum(
+            path,
+            ((ts, metrics.se3_vec_to_mat(T7)) for _, ts, T7 in self.full_trajectory()),
+        )
+
+    def save_keyframe_trajectory_tum(self, path: str):
+        from ..utils import metrics, trajectory
+
+        ts_by_fid = {fid: ts for fid, ts, _, _ in self.trajectory}
+        trajectory.save_tum(
+            path,
+            (
+                (ts_by_fid.get(fid, float(fid)), metrics.se3_vec_to_mat(T7))
+                for fid, T7 in self.keyframe_trajectory()
+            ),
+        )
+
+    def save_trajectory_kitti(self, path: str):
+        from ..utils import metrics, trajectory
+
+        trajectory.save_kitti(
+            path,
+            ((ts, metrics.se3_vec_to_mat(T7)) for _, ts, T7 in self.full_trajectory()),
+        )
 
 
 @jax.jit

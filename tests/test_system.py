@@ -141,3 +141,50 @@ def test_trajectory_export_formats(planar_seq, tmp_path):
     np.testing.assert_allclose(
         np.linalg.norm(tum[:, 4:8], axis=1), 1.0, atol=1e-5
     )
+
+
+def test_localization_mode_and_status_api(planar_seq, tmp_path):
+    """Reference System.h:80-123 surface: ActivateLocalizationMode freezes
+    the map, MapChanged reports big changes, getters expose frame state,
+    savers write TUM/KITTI files."""
+    imgs, poses_gt, K = planar_seq
+    slam = sysm.System(make_cfg())
+    for i in range(12):
+        slam.track_monocular(imgs[i], timestamp=i / 30.0)
+    assert slam.get_tracking_state() == sysm.System.OK
+    n_kf_before = int(slam.map.n_kf)
+    n_pt_before = int(slam.map.n_pt)
+
+    slam.activate_localization_mode()
+    for i in range(12, 20):
+        slam.track_monocular(imgs[i], timestamp=i / 30.0)
+    # tracking continued but the map did not grow
+    assert slam.get_tracking_state() == sysm.System.OK
+    assert int(slam.map.n_kf) == n_kf_before
+    assert int(slam.map.n_pt) == n_pt_before
+
+    slam.deactivate_localization_mode()
+    for i in range(20, len(imgs)):
+        slam.track_monocular(imgs[i], timestamp=i / 30.0)
+
+    ids, pos = slam.get_tracked_map_points()
+    assert len(ids) >= 30 and pos.shape == (len(ids), 3)
+    kps = slam.get_tracked_keypoints_un()
+    assert kps.ndim == 2 and kps.shape[1] == 2 and len(kps) > 0
+
+    # map_changed: no loop closure ran, but reset() counts as a big change
+    assert not slam.map_changed()
+    slam.shutdown()
+    t1, t2, t3 = (str(tmp_path / f"t{i}.txt") for i in range(3))
+    slam.save_trajectory_tum(t1)
+    slam.save_keyframe_trajectory_tum(t2)
+    slam.save_trajectory_kitti(t3)
+    assert len(open(t1).readlines()) == len(slam.full_trajectory())
+    assert len(open(t2).readlines()) == len(slam.keyframe_trajectory())
+    row = open(t3).readline().split()
+    assert len(row) == 12  # KITTI 3x4 row-major
+    slam.reset()
+    assert slam.map_changed() and not slam.map_changed()
+
+    with pytest.raises(AssertionError):
+        slam.track_stereo(imgs[0], imgs[0])
