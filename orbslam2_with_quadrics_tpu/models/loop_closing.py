@@ -35,23 +35,55 @@ def score_database(bow_mat, query_bow, kf_valid):
     return scores, common
 
 
+# above this vocabulary size, per-KF sparse BoW lists replace the dense
+# [K, V] matrix (the standard ORBvoc has 1M words)
+SPARSE_WORDS_THRESHOLD = 65536
+
+
 class LoopCloser:
     """Host orchestrator for detection + correction."""
 
-    def __init__(self, voc: vocab.Vocabulary, map_cfg: ms.MapConfig):
+    def __init__(self, voc, map_cfg: ms.MapConfig):
+        """voc: trained :class:`vocab.Vocabulary` or a
+        :class:`vocab.TreeVocabulary` loaded from the DBoW2 text format.
+        Large vocabularies (> 2^16 words, e.g. the standard 1M-word
+        ORBvoc) use sparse per-keyframe BoW lists instead of a dense
+        [K, V] matrix."""
         self.voc = voc
-        K, N, V = map_cfg.max_keyframes, map_cfg.n_features, voc.n_words
-        self.bow = jnp.zeros((K, V), jnp.float32)
+        K, N = map_cfg.max_keyframes, map_cfg.n_features
+        self.sparse = voc.n_words > SPARSE_WORDS_THRESHOLD
+        if self.sparse:
+            self.bow = None
+            self.kf_wid = jnp.full((K, N), -1, jnp.int32)
+            self.kf_wval = jnp.zeros((K, N), jnp.float32)
+        else:
+            self.bow = jnp.zeros((K, voc.n_words), jnp.float32)
         self.words = jnp.full((K, N), -1, jnp.int32)
         self.consistency: list[tuple[set, int]] = []  # (group KFs, count)
         self.covis_th = 3  # mnCovisibilityConsistencyTh (LoopClosing.cc:43)
         self.last_loop_kf = -999
 
     def add_keyframe(self, slot: int, desc, valid):
-        word, _ = vocab.transform(self.voc, desc, valid)
-        bv = vocab.bow_vector(word, self.voc.n_words, self.voc.idf)
-        self.bow = self.bow.at[slot].set(bv)
+        word, _ = vocab.transform_any(self.voc, desc, valid)
+        if self.sparse:
+            wid, wval = vocab.sparse_bow(word, self.voc.idf)
+            self.kf_wid = self.kf_wid.at[slot].set(wid)
+            self.kf_wval = self.kf_wval.at[slot].set(wval)
+        else:
+            bv = vocab.bow_vector(word, self.voc.n_words, self.voc.idf)
+            self.bow = self.bow.at[slot].set(bv)
         self.words = self.words.at[slot].set(word)
+
+    def score_query(self, word, kf_valid):
+        """Database similarity of one frame's word ids against every
+        keyframe (KeyFrameDatabase::Detect* word pass)."""
+        if self.sparse:
+            qw, qv = vocab.sparse_bow(word, self.voc.idf)
+            return vocab.sparse_l1_scores(
+                self.kf_wid, self.kf_wval, qw, qv, kf_valid
+            )
+        qbow = vocab.bow_vector(word, self.voc.n_words, self.voc.idf)
+        return score_database(self.bow, qbow, kf_valid)
 
     def detect(self, m: ms.MapState, slot: int) -> list[int]:
         """DetectLoop (src/LoopClosing.cc:103-229): query the database,
@@ -66,9 +98,7 @@ class LoopCloser:
         # >= 15, KeyFrame::UpdateConnections src/KeyFrame.cc:295-385) —
         # weakly re-observed places must stay eligible as loop candidates
         covis = W[slot] >= 15
-        scores, common = score_database(
-            self.bow, self.bow[slot], m.kf_valid
-        )
+        scores, common = self.score_query(self.words[slot], m.kf_valid)
         scores = np.asarray(scores)
         common = np.asarray(common)
         # min score among covisible neighbors (LoopClosing.cc:121-138)

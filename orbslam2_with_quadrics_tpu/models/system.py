@@ -44,6 +44,9 @@ class SystemConfig:
     vocab_levels: int = 4           # 10^4 words (BoW discrimination needs
                                     # head-room over the per-frame word count)
     vocab_train_kfs: int = 4        # train once this many KFs accumulated
+    vocab_path: Optional[str] = None  # pretrained vocabulary: .txt = DBoW2
+                                    # text format (the reference's ORBvoc.txt,
+                                    # System.cc:64-71), else this repo's .npz
     enable_quadrics: bool = False
     quadric_min_points: int = 15    # QuadricLandmark validity gate
                                     # (reference QuadricLandmark.cc:128-147)
@@ -84,6 +87,16 @@ class System:
         self.loop_closer = None
         self._vocab_pool = []
         self.n_loops_closed = 0
+        self._pretrained_voc = None
+        if cfg.vocab_path:
+            from ..ops import vocab as vocab_mod
+            from .loop_closing import LoopCloser
+
+            if cfg.vocab_path.endswith(".txt"):
+                self._pretrained_voc = vocab_mod.load_dbow2_text(cfg.vocab_path)
+            else:
+                self._pretrained_voc = vocab_mod.load(cfg.vocab_path)
+            self.loop_closer = LoopCloser(self._pretrained_voc, cfg.map)
         # quadric object landmarks
         self.quadrics = None
         if cfg.enable_quadrics:
@@ -213,6 +226,10 @@ class System:
         self.ref_kf_matches = 0
         self.last_kf_frame = -999
         self.loop_closer = None
+        if self._pretrained_voc is not None:
+            from .loop_closing import LoopCloser
+
+            self.loop_closer = LoopCloser(self._pretrained_voc, cfg.map)
         self._vocab_pool = []
         if self.quadrics is not None:
             self.quadrics.landmarks = []
@@ -421,14 +438,12 @@ class System:
         """Relocalization (reference src/Tracking.cc:1341-1502): BoW
         candidates -> word-bucketed matching -> PnP RANSAC -> pose LM."""
         from ..ops import pnp, vocab as vocab_mod
-        from . import loop_closing as lc_mod
 
         if self.loop_closer is None:
             return False
         lcs = self.loop_closer
-        word, _ = vocab_mod.transform(lcs.voc, feats.desc, feats.valid)
-        qbow = vocab_mod.bow_vector(word, lcs.voc.n_words, lcs.voc.idf)
-        scores, common = lc_mod.score_database(lcs.bow, qbow, self.map.kf_valid)
+        word, _ = vocab_mod.transform_any(lcs.voc, feats.desc, feats.valid)
+        scores, common = lcs.score_query(word, self.map.kf_valid)
         scores = np.asarray(scores)
         order = np.argsort(-scores)[:5]
         P = self.map.pt_pos.shape[0]

@@ -1,4 +1,5 @@
-"""ctypes bindings for the native runtime pieces (async image loader).
+"""ctypes bindings for the native runtime pieces (async image loader,
+DBoW2 vocabulary text parser).
 
 Builds lazily with make on first use; falls back to a pure-Python decoder
 (cv2/imageio) when a toolchain is unavailable, so the package never hard-
@@ -26,12 +27,23 @@ def _build():
     )
 
 
+def _stale() -> bool:
+    if not os.path.exists(_LIB_PATH):
+        return True
+    so_mtime = os.path.getmtime(_LIB_PATH)
+    return any(
+        os.path.getmtime(os.path.join(_DIR, f)) > so_mtime
+        for f in os.listdir(_DIR)
+        if f.endswith(".cpp")
+    )
+
+
 def get_lib():
     global _lib
     with _lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_LIB_PATH):
+        if _stale():
             _build()
         lib = ctypes.CDLL(_LIB_PATH)
         lib.slam_loader_create.restype = ctypes.c_void_p
@@ -50,8 +62,49 @@ def get_lib():
             ctypes.c_void_p,
         ]
         lib.slam_loader_destroy.argtypes = [ctypes.c_void_p]
+        lib.slam_vocab_scan.restype = ctypes.c_long
+        lib.slam_vocab_scan.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int)
+        ]
+        lib.slam_vocab_parse.restype = ctypes.c_long
+        lib.slam_vocab_parse.argtypes = [
+            ctypes.c_char_p, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_ubyte),
+            ctypes.POINTER(ctypes.c_ubyte), ctypes.POINTER(ctypes.c_double),
+        ]
         _lib = lib
         return lib
+
+
+def parse_vocab_text(path: str):
+    """Parse a DBoW2 text vocabulary with the native scanner.
+
+    Returns (k, L, scoring, weighting, parent [M] int64, is_leaf [M] bool,
+    desc [M,32] uint8, weight [M] f64) — same contract as the numpy
+    fallback in ops/vocab._parse_dbow2_text.
+    """
+    lib = get_lib()
+    header = (ctypes.c_int * 4)()
+    n = lib.slam_vocab_scan(path.encode(), header)
+    if n < 0:
+        raise ValueError(f"not a DBoW2 text vocabulary: {path}")
+    parent = np.empty(n, np.int32)
+    is_leaf = np.empty(n, np.uint8)
+    desc = np.empty((n, 32), np.uint8)
+    weight = np.empty(n, np.float64)
+    got = lib.slam_vocab_parse(
+        path.encode(), n,
+        parent.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        is_leaf.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        desc.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        weight.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    if got != n:
+        raise ValueError(f"vocabulary parse mismatch: {got} != {n}")
+    return (
+        int(header[0]), int(header[1]), int(header[2]), int(header[3]),
+        parent.astype(np.int64), is_leaf.astype(bool), desc, weight,
+    )
 
 
 class AsyncImageLoader:

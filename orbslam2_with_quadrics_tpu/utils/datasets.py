@@ -71,6 +71,34 @@ def load_euroc_mono(seq_dir: str, cam: str = "cam0"):
     return out
 
 
+def load_kitti_mono(seq_dir: str):
+    """KITTI odometry grayscale-left layout: image_0/, times.txt
+    (reference Examples/Monocular/mono_kitti.cc LoadImages)."""
+    times = np.loadtxt(os.path.join(seq_dir, "times.txt"))
+    paths = [
+        os.path.join(seq_dir, "image_0", f"{i:06d}.png")
+        for i in range(len(times))
+    ]
+    return times, paths
+
+
+def load_euroc_stereo(seq_dir: str):
+    """EuRoC MAV stereo: cam0/cam1 share hardware-synced timestamps
+    (reference Examples/Stereo/stereo_euroc.cc LoadImages). Returns
+    (times, left_paths, right_paths) for frames present in both cameras."""
+    left = load_euroc_mono(seq_dir, cam="cam0")
+    right = load_euroc_mono(seq_dir, cam="cam1")
+    rmap = {round(ts, 6): p for ts, p in right}
+    times, lefts, rights = [], [], []
+    for ts, p in left:
+        rp = rmap.get(round(ts, 6))
+        if rp is not None:
+            times.append(ts)
+            lefts.append(p)
+            rights.append(rp)
+    return np.asarray(times), lefts, rights
+
+
 def load_gray(path: str) -> np.ndarray:
     import cv2
 

@@ -125,3 +125,89 @@ def test_trajectory_quaternion_conversion_consistency():
             ]
         )
         np.testing.assert_allclose(R, R2, atol=1e-9)
+
+
+EUROC_BLOCK = """%YAML:1.0
+Camera.fps: 20.0
+Viewer.PointSize:2
+LEFT.height: 4
+LEFT.width: 6
+LEFT.D: !!opencv-matrix
+   rows: 1
+   cols: 5
+   dt: d
+   data:[-0.28, 0.07, 0.0, 0.0, 0.0]
+LEFT.K: !!opencv-matrix
+   rows: 3
+   cols: 3
+   dt: d
+   data: [458.654, 0.0, 3.0, 0.0, 457.296, 2.0, 0.0, 0.0, 1.0]
+LEFT.R: !!opencv-matrix
+   rows: 3
+   cols: 3
+   dt: d
+   data: [1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0]
+LEFT.P: !!opencv-matrix
+   rows: 3
+   cols: 4
+   dt: d
+   data: [435.2, 0, 3.0, 0, 0, 435.2, 2.0, 0, 0, 0, 1, 0]
+RIGHT.height: 4
+RIGHT.width: 6
+RIGHT.D: !!opencv-matrix
+   rows: 1
+   cols: 5
+   dt: d
+   data:[-0.28, 0.07, 0.0, 0.0, 0.0]
+RIGHT.K: !!opencv-matrix
+   rows: 3
+   cols: 3
+   dt: d
+   data: [457.6, 0.0, 3.0, 0.0, 456.1, 2.0, 0.0, 0.0, 1.0]
+RIGHT.R: !!opencv-matrix
+   rows: 3
+   cols: 3
+   dt: d
+   data: [1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0]
+RIGHT.P: !!opencv-matrix
+   rows: 3
+   cols: 4
+   dt: d
+   data: [435.2, 0, 3.0, -47.9, 0, 435.2, 2.0, 0, 0, 0, 1, 0]
+"""
+
+
+def test_opencv_matrix_yaml_and_rectify_maps(tmp_path):
+    """OpenCV-FileStorage YAML quirks the reference files rely on:
+    !!opencv-matrix tags, 'data:[' and 'key:value' without spaces
+    (Examples/Stereo/EuRoC.yaml)."""
+    p = tmp_path / "EuRoC.yaml"
+    p.write_text(EUROC_BLOCK)
+    s = config.load_settings(str(p))
+    assert s["Viewer.PointSize"] == 2
+    K = config.opencv_matrix(s, "LEFT.K")
+    assert K.shape == (3, 3) and abs(K[0, 0] - 458.654) < 1e-9
+    D = config.opencv_matrix(s, "LEFT.D")
+    assert D.shape == (1, 5) and abs(D[0, 0] + 0.28) < 1e-9
+    maps = config.euroc_rectify_maps(s)
+    assert maps is not None
+    (M1l, _), (M1r, _) = maps
+    assert M1l.shape == (4, 6) and M1r.shape == (4, 6)
+    assert config.euroc_rectify_maps({"Camera.fps": 20}) is None
+
+
+def test_euroc_stereo_listing(tmp_path):
+    from orbslam2_with_quadrics_tpu.utils import datasets
+
+    for cam, stamps in (("cam0", [1, 2, 3]), ("cam1", [2, 3, 4])):
+        d = tmp_path / "mav0" / cam / "data"
+        d.mkdir(parents=True)
+        with open(tmp_path / "mav0" / cam / "data.csv", "w") as f:
+            f.write("#timestamp [ns],filename\n")
+            for t in stamps:
+                f.write(f"{t}000000000,{t}.png\n")
+    times, lefts, rights = datasets.load_euroc_stereo(str(tmp_path))
+    # only the shared stamps 2, 3 survive
+    np.testing.assert_allclose(times, [2.0, 3.0])
+    assert lefts[0].endswith("cam0/data/2.png")
+    assert rights[1].endswith("cam1/data/3.png")
