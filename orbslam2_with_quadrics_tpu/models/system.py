@@ -48,6 +48,12 @@ class SystemConfig:
                                     # text format (the reference's ORBvoc.txt,
                                     # System.cc:64-71), else this repo's .npz
     enable_quadrics: bool = False
+    async_gba: bool = False         # run post-loop global BA in a background
+                                    # thread like the reference's transient
+                                    # 4th thread (LoopClosing.cc:579), with
+                                    # spanning-tree propagation to KFs/points
+                                    # created meanwhile; False = inline GBA
+                                    # (deterministic, used by most tests)
     quadric_min_points: int = 15    # QuadricLandmark validity gate
                                     # (reference QuadricLandmark.cc:128-147)
     n_local_kf: int = 64            # local-map window (ref cap 80,
@@ -110,6 +116,11 @@ class System:
         # localization-only mode (System::ActivateLocalizationMode,
         # src/System.cc:127-145 -> Tracking::InformOnlyTracking)
         self.only_tracking = False
+        # async global BA (reference's transient GBA thread,
+        # LoopClosing.cc:579,645-749)
+        self._gba_thread = None
+        self._gba_result = None
+        self._gba_gen = 0
         # big-change counter for MapChanged() (reference Map::mnBigChangeIdx,
         # src/Map.cc:70-80, read by System::MapChanged src/System.cc:282-293)
         self._big_change_idx = 0
@@ -182,10 +193,11 @@ class System:
         return changed
 
     def shutdown(self):
-        """Flush all in-flight device work (System::Shutdown joins the
-        worker threads, src/System.cc:301-320; here the only async party is
-        JAX's dispatch queue). Call before saving trajectories, as the
-        reference requires."""
+        """Flush all in-flight work (System::Shutdown joins the worker
+        threads and spin-waits on isRunningGBA, src/System.cc:301-320; here
+        that is the async-GBA thread plus JAX's dispatch queue). Call
+        before saving trajectories, as the reference requires."""
+        self._apply_gba_if_ready(wait=True)
         jax.block_until_ready(self.map.kf_pose)
         jax.block_until_ready(self.T_cw)
 
@@ -233,11 +245,16 @@ class System:
         self._vocab_pool = []
         if self.quadrics is not None:
             self.quadrics.landmarks = []
+        # abandon any in-flight global BA (its snapshot is now meaningless)
+        self._gba_gen += 1
+        self._gba_result = None
+        self._gba_thread = None
         self._big_change_idx += 1
 
     def _track(self, feats, timestamp):
         cfg = self.cfg
         self.last_feats = feats
+        self._apply_gba_if_ready()
         if self.state == self.NOT_INITIALIZED:
             if cfg.sensor == "mono":
                 self._mono_init(feats, timestamp)
@@ -387,11 +404,14 @@ class System:
                         self._big_change_idx += 1
                         # global refinement after the essential graph
                         # (RunGlobalBundleAdjustment, LoopClosing.cc:645-749)
-                        self.map, _ = lm.run_local_ba(
-                            self.map, jnp.asarray(slot), cfg.frontend.K,
-                            jnp.asarray(cfg.frontend.bf), self._inv_sigma2,
-                            window=cfg.map.max_keyframes, n_iters=10,
-                        )
+                        if cfg.async_gba:
+                            self._launch_global_ba(slot)
+                        else:
+                            self.map, _ = lm.run_local_ba(
+                                self.map, jnp.asarray(slot), cfg.frontend.K,
+                                jnp.asarray(cfg.frontend.bf), self._inv_sigma2,
+                                window=cfg.map.max_keyframes, n_iters=10,
+                            )
                         break
 
         # --- quadric object landmarks ---
@@ -406,6 +426,111 @@ class System:
         # adopt the BA-refined pose + surviving observations
         self.T_cw = self.map.kf_pose[slot]
         self.prev_obs = self.map.kf_obs_point[slot]
+
+    # ------------------------------------------------------------------
+    # async global BA (the reference's transient 4th thread:
+    # LoopClosing.cc:579 spawns RunGlobalBundleAdjustment; :645-749 applies
+    # the result and spanning-tree-propagates to KFs/points created while
+    # it ran). Immutable MapState snapshots replace mTcwGBA staging + the
+    # map-update mutex: the thread optimizes a snapshot while tracking
+    # keeps replacing self.map; the merge is pure array surgery.
+    # ------------------------------------------------------------------
+
+    def _launch_global_ba(self, slot: int):
+        import threading
+
+        cfg = self.cfg
+        snap = self.map
+        self._gba_gen += 1
+        gen = self._gba_gen
+
+        def run():
+            m2, _ = lm.run_local_ba(
+                snap, jnp.asarray(slot), cfg.frontend.K,
+                jnp.asarray(cfg.frontend.bf), self._inv_sigma2,
+                window=cfg.map.max_keyframes, n_iters=10,
+            )
+            jax.block_until_ready(m2.kf_pose)
+            if gen == self._gba_gen:  # superseded by a newer loop? drop
+                self._gba_result = (snap, m2)
+
+        self._gba_thread = threading.Thread(target=run, daemon=True)
+        self._gba_thread.start()
+
+    def _apply_gba_if_ready(self, wait: bool = False):
+        if self._gba_thread is not None and wait:
+            self._gba_thread.join()
+        if self._gba_result is None:
+            return
+        snap, gba = self._gba_result
+        self._gba_result = None
+        self._gba_thread = None
+        m = self.map
+        K = m.kf_valid.shape[0]
+
+        in_gba_kf = np.asarray(snap.kf_valid) & np.asarray(m.kf_valid)
+        old_pose = np.asarray(m.kf_pose)
+        new_pose = old_pose.copy()
+        new_pose[in_gba_kf] = np.asarray(gba.kf_pose)[in_gba_kf]
+        # spanning-tree propagation to keyframes created during GBA
+        # (LoopClosing.cc:677-708): Tcw_new = Tcw_old Twc_parent_old
+        # Tcw_parent_new, walking until every new KF has a corrected parent
+        parents = np.asarray(m.kf_parent)
+        kf_valid = np.asarray(m.kf_valid)
+        done = in_gba_kf.copy()
+        pending = [k for k in range(K) if kf_valid[k] and not done[k]]
+        for _ in range(K):
+            if not pending:
+                break
+            rest = []
+            for k in pending:
+                p = parents[k]
+                if p >= 0 and done[p]:
+                    T_rel = lie.se3_compose(
+                        jnp.asarray(old_pose[k]),
+                        lie.se3_inverse(jnp.asarray(old_pose[p])),
+                    )
+                    new_pose[k] = np.asarray(
+                        lie.se3_compose(T_rel, jnp.asarray(new_pose[p]))
+                    )
+                    done[k] = True
+                else:
+                    rest.append(k)
+            if len(rest) == len(pending):
+                break  # orphans (no corrected ancestor): keep old pose
+            pending = rest
+
+        # points: GBA result for snapshot points, reference-KF correction
+        # for points created meanwhile (LoopClosing.cc:710-737)
+        in_gba_pt = np.asarray(snap.pt_valid) & np.asarray(m.pt_valid)
+        pos = np.asarray(m.pt_pos).copy()
+        pos[in_gba_pt] = np.asarray(gba.pt_pos)[in_gba_pt]
+        new_pt = np.asarray(m.pt_valid) & ~in_gba_pt
+        if new_pt.any():
+            ref = np.clip(np.asarray(m.pt_first_kf), 0, K - 1)
+            idx = np.where(new_pt)[0]
+            r = ref[idx]
+            corr = jax.vmap(
+                lambda To, Tn, p: lie.se3_apply(
+                    lie.se3_inverse(Tn), lie.se3_apply(To, p)
+                )
+            )(
+                jnp.asarray(old_pose[r]), jnp.asarray(new_pose[r]),
+                jnp.asarray(pos[idx]),
+            )
+            pos[idx] = np.asarray(corr)
+
+        self.map = m._replace(
+            kf_pose=jnp.asarray(new_pose), pt_pos=jnp.asarray(pos)
+        )
+        # re-anchor the live camera on its (possibly corrected) reference KF
+        T_rel = lie.se3_compose(
+            self.T_cw, lie.se3_inverse(jnp.asarray(old_pose[self.ref_kf]))
+        )
+        self.T_cw = lie.se3_compose(
+            T_rel, jnp.asarray(new_pose[self.ref_kf])
+        )
+        self._big_change_idx += 1
 
     def _maybe_train_vocab(self, feats):
         """Train a small vocabulary from early keyframe descriptors

@@ -188,3 +188,121 @@ def test_localization_mode_and_status_api(planar_seq, tmp_path):
 
     with pytest.raises(AssertionError):
         slam.track_stereo(imgs[0], imgs[0])
+
+
+def test_async_gba_merge_propagates(planar_seq):
+    """Async global BA (reference LoopClosing.cc:579,645-749): the GBA
+    result computed on a snapshot must be applied to snapshot KFs/points
+    verbatim and spanning-tree-propagated to KFs/points created while it
+    ran. Fabricating a GBA result = snapshot warped by a known rigid G
+    makes the expected merged state exact: every pose -> T_cw o G^-1,
+    every point -> G(p)."""
+    import jax
+    import jax.numpy as jnp
+
+    from orbslam2_with_quadrics_tpu.ops import lie
+
+    imgs, poses_gt, K = planar_seq
+    cfg = make_cfg(async_gba=True)
+    cfg.max_frames_between_kf = 4
+    slam = sysm.System(cfg)
+    for i in range(14):
+        slam.track_monocular(imgs[i], timestamp=i / 30.0)
+    snap = slam.map
+    for i in range(14, 25):
+        slam.track_monocular(imgs[i], timestamp=i / 30.0)
+    m_before = slam.map
+    assert int(m_before.n_kf) > int(snap.n_kf), "no new KFs during 'GBA'"
+    assert int(m_before.n_pt) > int(snap.n_pt), "no new points during 'GBA'"
+
+    G = lie.se3_exp(jnp.asarray([0.05, -0.03, 0.08, 0.2, -0.1, 0.3]))
+    Ginv = lie.se3_inverse(G)
+    gba = snap._replace(
+        kf_pose=jax.vmap(lambda T: lie.se3_compose(T, Ginv))(snap.kf_pose),
+        pt_pos=jax.vmap(lambda p: lie.se3_apply(G, p))(snap.pt_pos),
+    )
+    T_cw_before = np.asarray(slam.T_cw)
+    slam._gba_result = (snap, gba)
+    slam._apply_gba_if_ready()
+
+    kf_valid = np.asarray(m_before.kf_valid)
+    in_snap = np.asarray(snap.kf_valid) & kf_valid
+    got_pose = np.asarray(slam.map.kf_pose)
+    before_pose = np.asarray(m_before.kf_pose)
+    parents = np.asarray(m_before.kf_parent)
+    # snapshot KFs take the GBA result verbatim (even where local BA
+    # refined them meanwhile -- GBA wins, LoopClosing.cc:684-688)
+    expect_snap = np.asarray(
+        jax.vmap(lambda T: lie.se3_compose(T, Ginv))(snap.kf_pose)
+    )
+    np.testing.assert_allclose(
+        got_pose[in_snap], expect_snap[in_snap], atol=1e-5
+    )
+    # KFs created during GBA keep their relative pose to the parent
+    for s in np.where(kf_valid & ~in_snap)[0]:
+        p = parents[s]
+        rel_before = np.asarray(lie.se3_compose(
+            jnp.asarray(before_pose[s]),
+            lie.se3_inverse(jnp.asarray(before_pose[p])),
+        ))
+        rel_after = np.asarray(lie.se3_compose(
+            jnp.asarray(got_pose[s]),
+            lie.se3_inverse(jnp.asarray(got_pose[p])),
+        ))
+        np.testing.assert_allclose(rel_after, rel_before, atol=1e-5,
+                                   err_msg=f"new kf {s} parent {p}")
+    # snapshot points take the GBA positions
+    pt_valid = np.asarray(m_before.pt_valid)
+    in_snap_pt = np.asarray(snap.pt_valid) & pt_valid
+    got_pt = np.asarray(slam.map.pt_pos)
+    expect_snap_pt = np.asarray(
+        jax.vmap(lambda p: lie.se3_apply(G, p))(snap.pt_pos)
+    )
+    np.testing.assert_allclose(
+        got_pt[in_snap_pt], expect_snap_pt[in_snap_pt], atol=1e-5
+    )
+    # new points keep their reference-KF camera-frame coordinates
+    ref = np.asarray(m_before.pt_first_kf)
+    for i in np.where(pt_valid & ~in_snap_pt)[0]:
+        r = ref[i]
+        cam_before = np.asarray(lie.se3_apply(
+            jnp.asarray(before_pose[r]), jnp.asarray(np.asarray(m_before.pt_pos)[i])
+        ))
+        cam_after = np.asarray(lie.se3_apply(
+            jnp.asarray(got_pose[r]), jnp.asarray(got_pt[i])
+        ))
+        np.testing.assert_allclose(cam_after, cam_before, atol=1e-5,
+                                   err_msg=f"new pt {i} ref {r}")
+    # live camera keeps its relative pose to its reference KF
+    rk = slam.ref_kf
+    rel_before = np.asarray(lie.se3_compose(
+        jnp.asarray(T_cw_before), lie.se3_inverse(jnp.asarray(before_pose[rk]))
+    ))
+    rel_after = np.asarray(lie.se3_compose(
+        slam.T_cw, lie.se3_inverse(jnp.asarray(got_pose[rk]))
+    ))
+    np.testing.assert_allclose(rel_after, rel_before, atol=1e-5)
+
+
+def test_async_gba_thread_end_to_end(planar_seq):
+    """The real thread path: launch on a live map, keep tracking, shutdown
+    joins and applies; the map stays consistent (tracking survives)."""
+    imgs, poses_gt, K = planar_seq
+    cfg = make_cfg(async_gba=True)
+    cfg.max_frames_between_kf = 4
+    slam = sysm.System(cfg)
+    for i in range(14):
+        slam.track_monocular(imgs[i], timestamp=i / 30.0)
+    slam._launch_global_ba(int(slam.ref_kf))
+    for i in range(14, len(imgs)):
+        slam.track_monocular(imgs[i], timestamp=i / 30.0)
+    slam.shutdown()
+    assert slam._gba_result is None and slam._gba_thread is None
+    assert slam.state == sysm.System.OK
+    assert np.isfinite(np.asarray(slam.map.kf_pose)).all()
+    est = [metrics.se3_vec_to_mat(T7) for _, _, T7 in slam.full_trajectory()]
+    gt = [poses_gt[fid] for fid, _, _ in slam.full_trajectory()]
+    ate = metrics.ate_rmse(
+        metrics.camera_centers_from_Tcw(est), metrics.camera_centers_from_Tcw(gt)
+    )
+    assert np.isfinite(ate)
