@@ -70,20 +70,17 @@ def main():
     )
     T = lie.se3_identity()
     prev_obs = obs0
+    # keyframe-rate cached observation matrix (System._get_obs_A)
+    obs_A = ms.observation_matrix(m)
 
     def frame_step(m, img, T, prev_obs):
         feats = fe.extract_mono(cfg, img)
         res = tr.track_frame(
             m, feats, T, prev_obs, cfg.K, jnp.asarray(0.0),
             height=H, width=W, n_levels=NLEV,
-            n_local_kf=NKF, n_local_pt=4096,
+            n_local_kf=NKF, n_local_pt=4096, obs_A=obs_A,
         )
         return res.T_cw, res.obs_point, res.n_inliers
-
-    step = jax.jit(frame_step)
-    # warmup / compile
-    out = step(m, img, T, prev_obs)
-    jax.block_until_ready(out)
 
     # Device-side loop over frames: one dispatch for the whole batch, so
     # the measurement is chip throughput, not host/tunnel per-call latency

@@ -88,6 +88,8 @@ class System:
             cfg.frontend.n_levels, cfg.frontend.scale_factor
         )
         self.metrics = []
+        self._obs_A_src = None  # (kf_obs_point, kf_kp_valid, kf_valid) refs
+        self._obs_A = None
         # loop closing (lazily-trained vocabulary, reference expects a
         # pretrained ORBvoc.txt which this repo builds on the fly)
         self.loop_closer = None
@@ -251,6 +253,23 @@ class System:
         self._gba_thread = None
         self._big_change_idx += 1
 
+    def _get_obs_A(self):
+        """[K,P] binary observation matrix, cached across frames.
+
+        The matrix only depends on (kf_obs_point, kf_kp_valid, kf_valid);
+        those arrays change at keyframe rate, not frame rate, so the cache
+        turns tracking's local-window selection into two MXU matvecs
+        (tracking.select_local_points). Keyed on array object identity —
+        holding the source arrays keeps ids from being recycled.
+        """
+        src = (self.map.kf_obs_point, self.map.kf_kp_valid, self.map.kf_valid)
+        if self._obs_A is None or any(
+            a is not b for a, b in zip(src, self._obs_A_src)
+        ):
+            self._obs_A = ms.observation_matrix(self.map)
+            self._obs_A_src = src
+        return self._obs_A
+
     def _track(self, feats, timestamp):
         cfg = self.cfg
         self.last_feats = feats
@@ -278,6 +297,7 @@ class System:
             scale=cfg.frontend.scale_factor,
             n_local_kf=min(cfg.n_local_kf, cfg.map.max_keyframes),
             n_local_pt=min(cfg.n_local_pt, cfg.map.max_points),
+            obs_A=self._get_obs_A(),
         )
         n_inl = int(res.n_inliers)
         if n_inl < cfg.min_inliers_track:
@@ -601,6 +621,7 @@ class System:
                 height=self.cfg.frontend.height, width=self.cfg.frontend.width,
                 n_levels=self.cfg.frontend.n_levels,
                 scale=self.cfg.frontend.scale_factor,
+                obs_A=self._get_obs_A(),
             )
             if int(res.n_inliers) >= 30:
                 self.T_cw = res.T_cw
@@ -808,11 +829,20 @@ class System:
 
 
 @jax.jit
-def _bump_stats(m: ms.MapState, visible, found):
-    return m._replace(
-        pt_visible=m.pt_visible + visible.astype(jnp.int32),
-        pt_found=m.pt_found + found.astype(jnp.int32),
+def _bump_stats_arrays(pt_visible, pt_found, visible, found):
+    return (
+        pt_visible + visible.astype(jnp.int32),
+        pt_found + found.astype(jnp.int32),
     )
+
+
+def _bump_stats(m: ms.MapState, visible, found):
+    # jit only the touched arrays: the other MapState leaves keep their
+    # object identity across frames, which the System's observation-matrix
+    # cache relies on (jit over the whole pytree would return fresh Array
+    # objects for every leaf every frame)
+    pv, pf = _bump_stats_arrays(m.pt_visible, m.pt_found, visible, found)
+    return m._replace(pt_visible=pv, pt_found=pf)
 
 
 @jax.jit

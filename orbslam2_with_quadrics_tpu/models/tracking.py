@@ -37,33 +37,59 @@ def _predict_scale(dist, max_dist, scale: float, n_levels: int):
     return jnp.clip(lvl, 0, n_levels - 1)
 
 
-def select_local_points(m: ms.MapState, obs_point, n_local_kf: int, n_local_pt: int):
+def select_local_points(
+    m: ms.MapState, obs_point, n_local_kf: int, n_local_pt: int, obs_A=None
+):
     """Covisibility vote -> top-K keyframes -> their points, fixed size.
 
     Replaces UpdateLocalKeyFrames/UpdateLocalPoints
     (src/Tracking.cc:1195-1339; cap of 80 KFs at :1285).
     Returns (pt_ids [n_local_pt] int32 with P=pad, kf_mask [K] bool).
+
+    ``obs_A``: optional precomputed [K,P] binary observation matrix
+    (``map_state.observation_matrix``). With it, both the keyframe vote and
+    the point union are single MXU matvecs; without it they fall back to a
+    gather-sum + a K*N-element scatter, which costs ~2 ms/frame on TPU
+    (scatter is serialized) — the matrix only changes at keyframe rate, so
+    the caller should maintain it across frames.
     """
     K, N = m.kf_obs_point.shape
     P = m.pt_pos.shape[0]
     matched = jnp.zeros((P + 1,), bool).at[jnp.where(obs_point >= 0, obs_point, P)].set(
         True
     )[:P]
-    obs_ok = (m.kf_obs_point >= 0) & m.kf_kp_valid & m.kf_valid[:, None]
-    votes = jnp.sum(
-        jnp.where(obs_ok, matched[jnp.clip(m.kf_obs_point, 0, P - 1)], False),
-        axis=1,
-    )  # [K]
     k_eff = min(n_local_kf, K)
-    top_v, top_i = jax.lax.top_k(votes, k_eff)
-    kf_mask = jnp.zeros((K,), bool).at[top_i].set(top_v > 0)
+    if obs_A is not None:
+        # vote: one [K,P] @ [P] matvec (0/1 values in bf16 accumulate
+        # exactly into f32)
+        votes = jax.lax.dot_general(
+            obs_A, matched.astype(obs_A.dtype),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        top_v, top_i = jax.lax.top_k(votes, k_eff)
+        kf_mask = jnp.zeros((K,), bool).at[top_i].set(top_v > 0)
+        pmask = (
+            jax.lax.dot_general(
+                kf_mask.astype(obs_A.dtype), obs_A,
+                (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            )
+            > 0
+        ) & m.pt_valid
+    else:
+        obs_ok = (m.kf_obs_point >= 0) & m.kf_kp_valid & m.kf_valid[:, None]
+        votes = jnp.sum(
+            jnp.where(obs_ok, matched[jnp.clip(m.kf_obs_point, 0, P - 1)], False),
+            axis=1,
+        )  # [K]
+        top_v, top_i = jax.lax.top_k(votes, k_eff)
+        kf_mask = jnp.zeros((K,), bool).at[top_i].set(top_v > 0)
 
-    # union of their observed points
-    pmask = jnp.zeros((P + 1,), bool)
-    sel_obs = jnp.where(
-        obs_ok & kf_mask[:, None], m.kf_obs_point, P
-    ).reshape(-1)
-    pmask = pmask.at[sel_obs].set(True)[:P] & m.pt_valid
+        # union of their observed points
+        pmask = jnp.zeros((P + 1,), bool)
+        sel_obs = jnp.where(
+            obs_ok & kf_mask[:, None], m.kf_obs_point, P
+        ).reshape(-1)
+        pmask = pmask.at[sel_obs].set(True)[:P] & m.pt_valid
     pt_ids = jnp.nonzero(pmask, size=n_local_pt, fill_value=P)[0].astype(jnp.int32)
     return pt_ids, kf_mask
 
@@ -93,6 +119,7 @@ def track_frame(
     n_local_pt: int = 4096,
     motion_radius: float = 15.0,
     local_radius: float = 4.0,
+    obs_A=None,
 ) -> TrackResult:
     """One full tracking update (TrackWithMotionModel + TrackLocalMap,
     src/Tracking.cc:867-974)."""
@@ -154,7 +181,7 @@ def track_frame(
     )
 
     # ---------------- stage B: local-map tracking -----------------------
-    pt_ids, kf_mask = select_local_points(m, obs_a, n_local_kf, n_local_pt)
+    pt_ids, kf_mask = select_local_points(m, obs_a, n_local_kf, n_local_pt, obs_A)
     pt_ok = pt_ids < P
     pid = jnp.clip(pt_ids, 0, P - 1)
     pb = m.pt_pos[pid]

@@ -236,8 +236,67 @@ def se3_log(T):
 
 
 def se3_retract(T, xi):
-    """Left-multiplicative optimizer update: exp(xi) * T."""
-    return se3_compose(se3_exp(xi), T)
+    """Left-multiplicative optimizer update: exp(xi) * T.
+
+    Mathematically identical to ``se3_compose(se3_exp(xi), T)`` but written
+    as scalar-indexed arithmetic with a single final stack: the generic
+    composition expands to ~50 small stack/cross/einsum HLOs that cannot
+    fuse, costing ~75 us per call on TPU — and retract sits inside every
+    sequential LM chain (pose opt runs 20 of them per frame). This form
+    compiles to one fusion (~2 us). Same Taylor fallbacks as
+    so3_exp_quat/_so3_left_jacobian.
+    """
+    wx, wy, wz = xi[..., 0], xi[..., 1], xi[..., 2]
+    vx, vy, vz = xi[..., 3], xi[..., 4], xi[..., 5]
+    theta2 = wx * wx + wy * wy + wz * wz
+    theta = jnp.sqrt(jnp.maximum(theta2, _EPS * _EPS))
+    small = theta2 < 1e-8
+    safe_t2 = jnp.where(small, 1.0, theta2)
+    half = 0.5 * theta
+
+    # --- exp(w) as a quaternion d = [dw, dx, dy, dz] ---
+    k = jnp.where(small, 0.5 - theta2 / 48.0, jnp.sin(half) / theta)
+    dw = jnp.where(small, 1.0 - theta2 / 8.0, jnp.cos(half))
+    dx, dy, dz = k * wx, k * wy, k * wz
+    dn = 1.0 / jnp.sqrt(jnp.maximum(dw * dw + dx * dx + dy * dy + dz * dz, _EPS))
+    dw, dx, dy, dz = dw * dn, dx * dn, dy * dn, dz * dn
+
+    # --- translation of exp(xi): t_d = J_l(w) v = v + a (w x v) + b (w(w.v) - theta2 v)
+    a = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / safe_t2)
+    b = jnp.where(
+        small,
+        1.0 / 6.0 - theta2 / 120.0,
+        (theta - jnp.sin(theta)) / (safe_t2 * theta),
+    )
+    cx = wy * vz - wz * vy
+    cy = wz * vx - wx * vz
+    cz = wx * vy - wy * vx
+    wv = wx * vx + wy * vy + wz * vz
+    tdx = vx + a * cx + b * (wx * wv - theta2 * vx)
+    tdy = vy + a * cy + b * (wy * wv - theta2 * vy)
+    tdz = vz + a * cz + b * (wz * wv - theta2 * vz)
+
+    # --- compose with T: q = d * q_T (Hamilton), t = R(d) t_T + t_d ---
+    qw, qx, qy, qz = T[..., 0], T[..., 1], T[..., 2], T[..., 3]
+    tx, ty, tz = T[..., 4], T[..., 5], T[..., 6]
+    rw = dw * qw - dx * qx - dy * qy - dz * qz
+    rx = dw * qx + dx * qw + dy * qz - dz * qy
+    ry = dw * qy - dx * qz + dy * qw + dz * qx
+    rz = dw * qz + dx * qy - dy * qx + dz * qw
+    rn = 1.0 / jnp.sqrt(jnp.maximum(rw * rw + rx * rx + ry * ry + rz * rz, _EPS))
+    rw, rx, ry, rz = rw * rn, rx * rn, ry * rn, rz * rn
+
+    # rotate t_T by d: t' = t + 2 dw (u x t) + 2 u x (u x t), u = (dx,dy,dz)
+    ux = dy * tz - dz * ty
+    uy = dz * tx - dx * tz
+    uz = dx * ty - dy * tx
+    txr = tx + 2.0 * (dw * ux + dy * uz - dz * uy)
+    tyr = ty + 2.0 * (dw * uy + dz * ux - dx * uz)
+    tzr = tz + 2.0 * (dw * uz + dx * uy - dy * ux)
+
+    return jnp.stack(
+        [rw, rx, ry, rz, txr + tdx, tyr + tdy, tzr + tdz], axis=-1
+    )
 
 
 def se3_to_matrix(T):

@@ -11,10 +11,20 @@ is a sequential dependency on TPU, and warm-started GN converges in <=3
 steps, so extra inner iterations cost latency and buy nothing (validated:
 identical inlier counts and pose error on the test scenes).
 
-Perf structure: candidate evaluation is residual-only (no Jacobians), so
-an LM iteration costs one Jacobian build + one cheap cost probe instead of
-two full builds. Everything is fixed-shape; the whole solve is one jitted
-fori_loop — no host round-trips.
+Perf structure (the whole solve is one jitted fori_loop, no host trips):
+
+- The pose is carried through the LM chain as (R [3,3], t [3]) and every
+  step is expressed in tensordot/matmul/elementwise form. TPU punishes
+  scalar extracts + re-stacks (~2-4 us each for cross-register traffic,
+  measured ~30 us for an extract-7-scalars-and-restack body), so the
+  quaternion form — natural for storage — is converted once at entry and
+  once at exit, never inside the chain.
+- Each LM iteration runs ONE fused evaluation: (H, b, robust cost) at the
+  candidate pose from a single projection/Jacobian pass, with deferred
+  accept/reject (rejection re-damps the incumbent's stored system).
+- The damped 6x6 normal system is solved by a fully unrolled Cholesky
+  (``solve_spd_small``): ``jnp.linalg.solve`` lowers to pivoted LU with
+  dynamic control flow, tens of us per call; the unrolled form is ~1.5 us.
 """
 
 from __future__ import annotations
@@ -24,7 +34,58 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from . import camera, lie, residuals
+from . import lie, residuals
+
+
+def solve_spd_small(H, b, eps: float = 1e-12):
+    """Solve H x = b for small SPD H (6x6 here) via fully unrolled Cholesky.
+
+    ``jnp.linalg.solve`` lowers to pivoted LU — dynamic control flow that
+    costs tens of microseconds per call on TPU; inside the 20-step
+    sequential LM chain of pose_optimization that was the single largest
+    per-frame latency term. The damped normal-equation matrix is SPD by
+    construction, so an unrolled Cholesky (~140 fused scalar ops, no
+    pivoting, no loops) is exact and latency-free.
+    """
+    n = H.shape[-1]
+    L = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            s = H[i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(jnp.maximum(s, eps))
+            else:
+                L[i][j] = s / L[j][j]
+    y = [None] * n
+    for i in range(n):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x)
+
+
+# structure tensor of hat(): hat(v)_{ij} = sum_k v_k _HAT[k,i,j]. A single
+# tensordot replaces the extract-3-scalars-and-stack-9 form of lie.hat,
+# which costs cross-register traffic inside the sequential LM chain.
+_HAT = (
+    ((0.0, 0.0, 0.0), (0.0, 0.0, -1.0), (0.0, 1.0, 0.0)),
+    ((0.0, 0.0, 1.0), (0.0, 0.0, 0.0), (-1.0, 0.0, 0.0)),
+    ((0.0, -1.0, 0.0), (1.0, 0.0, 0.0), (0.0, 0.0, 0.0)),
+)
+
+
+def _hat(v):
+    """hat(v) for [..., 3] via tensordot (no scalar extracts)."""
+    return jnp.tensordot(v, jnp.asarray(_HAT, v.dtype), axes=([-1], [0]))
 
 
 def _row_weights(is_stereo):
@@ -33,15 +94,22 @@ def _row_weights(is_stereo):
     )
 
 
-def _residuals_only(T, K, bf, points, obs):
-    """e [N,3] without Jacobians (cheap candidate probe)."""
-    pc = lie.se3_apply(T, points)
-    uvr, z = camera.project_stereo(K, bf, pc)
-    return obs - uvr, z
+def _project_mat(R, t, K, bf, points):
+    """pc, residual prediction [N,3] (u, v, u_r) in matrix-pose form."""
+    pc = points @ R.T + t
+    z = pc[:, 2]
+    zs = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+    iz = 1.0 / zs
+    u = K[0] * pc[:, 0] * iz + K[2]
+    v = K[1] * pc[:, 1] * iz + K[3]
+    ur = u - bf * iz
+    return pc, jnp.stack([u, v, ur], axis=-1), z
 
 
-def _chi2_cost(T, K, bf, points, obs, row_w, w_obs, huber_delta2):
-    e, z = _residuals_only(T, K, bf, points, obs)
+def _chi2_mat(R, t, K, bf, points, obs, row_w, w_obs, huber_delta2):
+    """(robust cost, per-obs chi2) — residual-only pass."""
+    _, pred, z = _project_mat(R, t, K, bf, points)
+    e = obs - pred
     w = w_obs * (z > 0.05)
     chi2 = jnp.sum(e * e * row_w, axis=-1) * w
     rho = jnp.where(
@@ -52,48 +120,107 @@ def _chi2_cost(T, K, bf, points, obs, row_w, w_obs, huber_delta2):
     return jnp.sum(rho), chi2
 
 
-def _normal_eq(T, K, bf, points, obs, row_w, w_obs, huber_delta2):
-    """H [6,6], b [6] and robust cost at T (one Jacobian build)."""
-    e, Jc = jax.vmap(
-        lambda p, o: residuals.residual_and_jacobians(T, K, bf, p, o)[:2]
-    )(points, obs)
-    chi2 = jnp.sum(e * e * row_w, axis=-1) * w_obs
+def _normal_eq_mat(R, t, K, bf, points, obs, row_w, w_obs, huber_delta2):
+    """H [6,6], b [6] and robust cost at (R, t) — ONE batched pass.
+
+    Jacobian structure matches g2o's EdgeSE3ProjectXYZOnlyPose
+    (types_six_dof_expmap.h:136-196) in the left-multiplicative tangent
+    [omega, upsilon]: Jc = [dpred @ hat(pc), -dpred].
+    """
+    pc, pred, z = _project_mat(R, t, K, bf, points)
+    e = obs - pred
+    w_eff = w_obs * (z > 0.05)
+    chi2 = jnp.sum(e * e * row_w, axis=-1) * w_eff
     hw = jnp.where(
         huber_delta2 > 0,
         residuals.huber_weight(chi2, jnp.where(huber_delta2 > 0, huber_delta2, 1.0)),
         jnp.ones_like(chi2),
     )
-    w = w_obs * hw
+    w = w_eff * hw
+
+    zs = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+    iz = 1.0 / zs
+    iz2 = iz * iz
+    fx, fy = K[0], K[1]
+    x, y = pc[:, 0], pc[:, 1]
+    zero = jnp.zeros_like(iz)
+    du = jnp.stack([fx * iz, zero, -fx * x * iz2], axis=-1)
+    dv = jnp.stack([zero, fy * iz, -fy * y * iz2], axis=-1)
+    dur = du + jnp.stack([zero, zero, bf * iz2], axis=-1)
+    dpred = jnp.stack([du, dv, dur], axis=-2)  # [N,3,3] d(pred)/d(pc)
+
+    hat_pc = _hat(pc)  # [N,3,3]
+    Jc = jnp.concatenate(
+        [jnp.einsum("nij,njk->nik", dpred, hat_pc), -dpred], axis=-1
+    )  # [N,3,6]
     Jw = Jc * (row_w[..., None] * w[:, None, None])
     H = jnp.einsum("nri,nrj->ij", Jw, Jc)
     # GN normal equations: H delta = b with b = -J^T W e (J = de/dx)
     b = -jnp.einsum("nri,nr->i", Jw, e)
-    return H, b
+    rho = jnp.where(
+        (huber_delta2 > 0) & (chi2 > huber_delta2),
+        2.0 * jnp.sqrt(huber_delta2 * jnp.maximum(chi2, 1e-12)) - huber_delta2,
+        chi2,
+    )
+    return H, b, jnp.sum(rho)
 
 
-def _lm_round(T, K, bf, points, obs, row_w, w_obs, huber_delta2, iters):
-    """`iters` LM steps on a fixed inlier weighting."""
+def _retract_mat(R, t, delta):
+    """exp(delta) * (R, t) via Rodrigues — tensordot/matmul only, no
+    scalar extracts (see module docstring; same Taylor fallbacks as
+    lie.se3_retract)."""
+    w, v = delta[:3], delta[3:6]
+    W = _hat(w)
+    W2 = W @ W
+    theta2 = jnp.sum(w * w)
+    theta = jnp.sqrt(jnp.maximum(theta2, 1e-16))
+    small = theta2 < 1e-8
+    safe2 = jnp.where(small, 1.0, theta2)
+    sA = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
+    sB = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / safe2)
+    sC = jnp.where(
+        small, 1.0 / 6.0 - theta2 / 120.0, (theta - jnp.sin(theta)) / (safe2 * theta)
+    )
+    eye = jnp.eye(3, dtype=R.dtype)
+    Rd = eye + sA * W + sB * W2
+    V = eye + sB * W + sC * W2
+    return Rd @ R, Rd @ t + V @ v
+
+
+def _lm_round(R, t, K, bf, points, obs, row_w, w_obs, huber_delta2, iters):
+    """``iters`` LM steps on a fixed inlier weighting.
+
+    Deferred accept/reject: each iteration evaluates (H, b, cost) at the
+    candidate pose in one fused pass; on acceptance that system is reused
+    to form the next step, on rejection the loop re-damps the stored
+    system of the incumbent pose. Identical fixed point to the classic
+    evaluate-then-probe formulation at half the projection passes.
+    """
 
     def step(_, carry):
-        T, lam, cost = carry
-        H, b = _normal_eq(T, K, bf, points, obs, row_w, w_obs, huber_delta2)
+        R, t, H, b, cost, lam = carry
         Hd = H + lam * jnp.diag(jnp.diagonal(H)) + 1e-10 * jnp.eye(6, dtype=H.dtype)
-        delta = jnp.linalg.solve(Hd, b)
-        T_new = lie.se3_retract(T, delta)
-        cost_new, _ = _chi2_cost(
-            T_new, K, bf, points, obs, row_w, w_obs, huber_delta2
+        delta = solve_spd_small(Hd, b)
+        R_c, t_c = _retract_mat(R, t, delta)
+        H_c, b_c, cost_c = _normal_eq_mat(
+            R_c, t_c, K, bf, points, obs, row_w, w_obs, huber_delta2
         )
-        ok = (cost_new < cost) & jnp.all(jnp.isfinite(delta))
-        T = jnp.where(ok, T_new, T)
-        cost = jnp.where(ok, cost_new, cost)
+        ok = (cost_c < cost) & jnp.all(jnp.isfinite(delta))
+        R = jnp.where(ok, R_c, R)
+        t = jnp.where(ok, t_c, t)
+        H = jnp.where(ok, H_c, H)
+        b = jnp.where(ok, b_c, b)
+        cost = jnp.where(ok, cost_c, cost)
         lam = jnp.clip(jnp.where(ok, lam * 0.5, lam * 4.0), 1e-10, 1e6)
-        return T, lam, cost
+        return R, t, H, b, cost, lam
 
-    cost0, _ = _chi2_cost(T, K, bf, points, obs, row_w, w_obs, huber_delta2)
-    T, _, _ = jax.lax.fori_loop(
-        0, iters, step, (T, jnp.asarray(1e-4, T.dtype), cost0)
+    H0, b0, cost0 = _normal_eq_mat(
+        R, t, K, bf, points, obs, row_w, w_obs, huber_delta2
     )
-    return T
+    R, t, _, _, _, _ = jax.lax.fori_loop(
+        0, iters, step, (R, t, H0, b0, cost0, jnp.asarray(1e-4, R.dtype))
+    )
+    return R, t
 
 
 @partial(jax.jit, static_argnames=("rounds", "iters"))
@@ -131,21 +258,23 @@ def pose_optimization(
     )
     inlier = valid > 0
 
-    T = T_init
+    R = lie.quat_to_matrix(T_init[:4])
+    t = T_init[4:7]
     for r in range(rounds):
         huber_delta2 = jnp.asarray(
             residuals.CHI2_STEREO if r < 2 else 0.0, T_init.dtype
         )
-        w_obs = inlier.astype(T.dtype) * inv_sigma2
-        T = _lm_round(
-            T, K, bf, points_w, obs_uvr, row_w, w_obs, huber_delta2, iters
+        w_obs = inlier.astype(t.dtype) * inv_sigma2
+        R, t = _lm_round(
+            R, t, K, bf, points_w, obs_uvr, row_w, w_obs, huber_delta2, iters
         )
         # re-classify over ALL valid obs so outliers can be rescued
-        w_all = (valid > 0).astype(T.dtype) * inv_sigma2
-        _, chi2_all = _chi2_cost(
-            T, K, bf, points_w, obs_uvr, row_w, w_all, jnp.asarray(0.0)
+        w_all = (valid > 0).astype(t.dtype) * inv_sigma2
+        _, chi2_all = _chi2_mat(
+            R, t, K, bf, points_w, obs_uvr, row_w, w_all, jnp.asarray(0.0)
         )
         inlier = (chi2_all < chi2_gate) & (valid > 0)
 
+    T = lie.se3_make(lie.matrix_to_quat(R), t)
     n_inliers = jnp.sum(inlier.astype(jnp.int32))
     return T, inlier, n_inliers
