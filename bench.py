@@ -91,7 +91,12 @@ def main():
     def seq(m, img, T, prev_obs):
         def body(carry, _):
             T, po = carry
-            T2, po2, n = frame_step(m, img, T, po)
+            # make the image depend on the carry: with a loop-invariant
+            # image XLA hoists the entire ORB extraction out of the scan
+            # and the benchmark silently measures tracking without its
+            # front-end (~2.2 ms/frame of real work)
+            img_i = img + T[0] * 1e-7
+            T2, po2, n = frame_step(m, img_i, T, po)
             return (T2, po), n
 
         (_, _), ns = jax.lax.scan(body, (T, prev_obs), None, length=n_it)

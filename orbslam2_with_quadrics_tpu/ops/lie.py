@@ -29,6 +29,48 @@ import jax.numpy as jnp
 _EPS = 1e-8
 
 
+def _build_structure_tensors():
+    import numpy as np
+
+    # hat(v)_{ij} = sum_k v_k HAT[k,i,j]
+    hat_t = np.zeros((3, 3, 3), np.float32)
+    hat_t[0, 1, 2], hat_t[0, 2, 1] = -1.0, 1.0
+    hat_t[1, 0, 2], hat_t[1, 2, 0] = 1.0, -1.0
+    hat_t[2, 0, 1], hat_t[2, 1, 0] = -1.0, 1.0
+
+    # Shepperd candidates as a linear map of [vec(R) row-major; 1]:
+    # cands[k, j] = sum_n M2Q[k, j, n] v[n]
+    m2q = np.zeros((4, 4, 10), np.float32)
+
+    def E(i, j):
+        return 3 * i + j
+
+    # k=0: qw-major  [1+tr, m21-m12, m02-m20, m10-m01]
+    m2q[0, 0, [E(0, 0), E(1, 1), E(2, 2), 9]] = [1, 1, 1, 1]
+    m2q[0, 1, [E(2, 1), E(1, 2)]] = [1, -1]
+    m2q[0, 2, [E(0, 2), E(2, 0)]] = [1, -1]
+    m2q[0, 3, [E(1, 0), E(0, 1)]] = [1, -1]
+    # k=1: qx-major  [m21-m12, 1+m00-m11-m22, m01+m10, m02+m20]
+    m2q[1, 0, [E(2, 1), E(1, 2)]] = [1, -1]
+    m2q[1, 1, [E(0, 0), E(1, 1), E(2, 2), 9]] = [1, -1, -1, 1]
+    m2q[1, 2, [E(0, 1), E(1, 0)]] = [1, 1]
+    m2q[1, 3, [E(0, 2), E(2, 0)]] = [1, 1]
+    # k=2: qy-major  [m02-m20, m01+m10, 1-m00+m11-m22, m12+m21]
+    m2q[2, 0, [E(0, 2), E(2, 0)]] = [1, -1]
+    m2q[2, 1, [E(0, 1), E(1, 0)]] = [1, 1]
+    m2q[2, 2, [E(0, 0), E(1, 1), E(2, 2), 9]] = [-1, 1, -1, 1]
+    m2q[2, 3, [E(1, 2), E(2, 1)]] = [1, 1]
+    # k=3: qz-major  [m10-m01, m02+m20, m12+m21, 1-m00-m11+m22]
+    m2q[3, 0, [E(1, 0), E(0, 1)]] = [1, -1]
+    m2q[3, 1, [E(0, 2), E(2, 0)]] = [1, 1]
+    m2q[3, 2, [E(1, 2), E(2, 1)]] = [1, 1]
+    m2q[3, 3, [E(0, 0), E(1, 1), E(2, 2), 9]] = [-1, -1, 1, 1]
+    return hat_t, m2q
+
+
+_HAT_T, _M2Q = _build_structure_tensors()
+
+
 # ---------------------------------------------------------------------------
 # quaternions
 # ---------------------------------------------------------------------------
@@ -64,51 +106,46 @@ def quat_rotate(q, v):
 
 
 def quat_to_matrix(q):
-    w, x, y, z = jnp.moveaxis(q, -1, 0)
-    xx, yy, zz = x * x, y * y, z * z
-    xy, xz, yz = x * y, x * z, y * z
-    wx, wy, wz = w * x, w * y, w * z
-    m = jnp.stack(
-        [
-            1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy),
-            2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx),
-            2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy),
-        ],
-        axis=-1,
-    )
-    return m.reshape(m.shape[:-1] + (3, 3))
+    """Unit quaternion [w,x,y,z] -> rotation matrix.
+
+    Written as outer/structure-tensor products (R = I + 2w [u]x + 2 [u]x^2
+    with [u]x^2 = u u^T - (u.u) I) rather than the 13-product component
+    form: on TPU, per-component scalar extracts + restack cost ~2-4 us
+    each in cross-register traffic, and this conversion sits at the entry
+    of every pose solve.
+    """
+    w = q[..., :1, None]  # [...,1,1]
+    u = q[..., 1:]
+    uu = u[..., :, None] * u[..., None, :]
+    un = jnp.sum(u * u, axis=-1)[..., None, None]
+    W = jnp.tensordot(u, jnp.asarray(_HAT_T, q.dtype), axes=([-1], [0]))
+    eye = jnp.eye(3, dtype=q.dtype)
+    return eye + 2.0 * w * W + 2.0 * (uu - un * eye)
 
 
 def matrix_to_quat(m):
     """Rotation matrix -> unit quaternion [w,x,y,z] (Shepperd's method,
-    branch-free via selecting the largest of the four candidates)."""
-    m00, m01, m02 = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
-    m10, m11, m12 = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
-    m20, m21, m22 = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
-    tr = m00 + m11 + m22
+    branch-free via selecting the largest of the four candidates).
 
-    def mk(t, a, b, c):
-        # candidate with 4q_k^2 = t (clamped); (a,b,c) fill the rest
-        s = jnp.sqrt(jnp.maximum(t, _EPS)) * 2.0
-        return s, a / s, b / s, c / s
-
-    # four candidates: qw-major, qx-major, qy-major, qz-major
-    sw, xw, yw, zw = mk(1.0 + tr, m21 - m12, m02 - m20, m10 - m01)
-    qw_ = jnp.stack([sw / 4.0, xw, yw, zw], axis=-1)
-    sx, wx_, yx, zx = mk(1.0 + m00 - m11 - m22, m21 - m12, m01 + m10, m02 + m20)
-    qx_ = jnp.stack([wx_, sx / 4.0, yx, zx], axis=-1)
-    sy, wy_, xy_, zy = mk(1.0 - m00 + m11 - m22, m02 - m20, m01 + m10, m12 + m21)
-    qy_ = jnp.stack([wy_, xy_, sy / 4.0, zy], axis=-1)
-    sz, wz_, xz_, yz_ = mk(1.0 - m00 - m11 + m22, m10 - m01, m02 + m20, m12 + m21)
-    qz_ = jnp.stack([wz_, xz_, yz_, sz / 4.0], axis=-1)
-
-    cands = jnp.stack([qw_, qx_, qy_, qz_], axis=-2)  # [...,4,4]
-    scores = jnp.stack(
-        [tr, m00 - m11 - m22, m11 - m00 - m22, m22 - m00 - m11], axis=-1
+    The four candidate quaternions are linear in the matrix entries, so
+    they are produced by ONE constant [4,4,10] tensor contraction against
+    [vec(R); 1] instead of 9 scalar extracts + 16 stacks (same TPU
+    latency rationale as quat_to_matrix)."""
+    v = jnp.concatenate(
+        [
+            m.reshape(m.shape[:-2] + (9,)),
+            jnp.ones(m.shape[:-2] + (1,), m.dtype),
+        ],
+        axis=-1,
     )
+    cands = jnp.einsum("kjn,...n->...kj", jnp.asarray(_M2Q, m.dtype), v)
+    scores = jnp.einsum("...kk->...k", cands)  # 4 q_k^2 of each candidate
     idx = jnp.argmax(scores, axis=-1)
-    q = jnp.take_along_axis(cands, idx[..., None, None].astype(jnp.int32), axis=-2)
-    q = jnp.squeeze(q, axis=-2)
+    t = jnp.take_along_axis(scores, idx[..., None], axis=-1)  # [...,1]
+    q = jnp.take_along_axis(
+        cands, idx[..., None, None].astype(jnp.int32), axis=-2
+    )[..., 0, :]
+    q = q / (2.0 * jnp.sqrt(jnp.maximum(t, _EPS)))
     # canonical sign: w >= 0
     q = q * jnp.where(q[..., :1] < 0, -1.0, 1.0)
     return quat_normalize(q)

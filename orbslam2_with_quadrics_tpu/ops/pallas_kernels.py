@@ -156,9 +156,44 @@ def masked_hamming_best2_tpu(
 def masked_hamming_best2(
     qdesc, quv, qrad, qlvl, qvalid, tdesc, tuv, tlvl, tvalid, level_tol: int = 1
 ):
-    """Dispatch: Pallas on TPU (with padding to tile multiples), jnp
-    reference elsewhere. Same contract as matching.best_two over the
-    projection-window mask."""
+    """Dispatch: MXU bit-matmul path on TPU, jnp popcount elsewhere. Same
+    contract as matching.best_two over the projection-window mask.
+
+    The Pallas streaming kernel (``masked_hamming_best2_tpu`` above) is
+    kept for reference, but it is NOT the production path: it computes
+    Hamming distance on the VPU via xor+popcount, and as a custom call it
+    pins operand layouts — composed with the in-loop ORB extraction that
+    produces its inputs, XLA inserts per-iteration layout copies that cost
+    ~12 ms/frame (measured). The MXU path expresses the same distance as
+    one bf16 [Q,256]x[256,N] matmul (exact: 0/1 values, f32 accumulation)
+    and fuses cleanly with neighbours.
+    """
+    platform = jax.devices()[0].platform
+    Q, N = qdesc.shape[0], tdesc.shape[0]
+    from . import matching
+
+    if platform == "tpu":
+        du = jnp.abs(quv[:, 0:1] - tuv[None, :, 0])
+        dv = jnp.abs(quv[:, 1:2] - tuv[None, :, 1])
+        mask = (
+            (du <= qrad[:, None])
+            & (dv <= qrad[:, None])
+            & (jnp.abs(tlvl[None, :] - qlvl[:, None]) <= level_tol)
+            & qvalid[:, None].astype(bool)
+            & tvalid[None, :].astype(bool)
+        )
+        dist = matching.hamming_matrix_mxu(qdesc, tdesc)
+        return matching.best_two(dist, mask)
+    return _masked_hamming_best2_jnp(
+        qdesc, quv, qrad, qlvl, qvalid, tdesc, tuv, tlvl, tvalid, level_tol
+    )
+
+
+def masked_hamming_best2_pallas(
+    qdesc, quv, qrad, qlvl, qvalid, tdesc, tuv, tlvl, tvalid, level_tol: int = 1
+):
+    """Pallas streaming variant (see masked_hamming_best2 docstring for why
+    it is not the default); pads to 256-tiles and falls back off-TPU."""
     platform = jax.devices()[0].platform
     Q, N = qdesc.shape[0], tdesc.shape[0]
     if platform == "tpu" and Q >= 256 and N >= 256:
@@ -180,7 +215,15 @@ def masked_hamming_best2(
         )
         return bidx[:Q], best[:Q], second[:Q]
 
-    # jnp reference path
+    return _masked_hamming_best2_jnp(
+        qdesc, quv, qrad, qlvl, qvalid, tdesc, tuv, tlvl, tvalid, level_tol
+    )
+
+
+def _masked_hamming_best2_jnp(
+    qdesc, quv, qrad, qlvl, qvalid, tdesc, tuv, tlvl, tvalid, level_tol
+):
+    """jnp popcount reference path (CPU tests)."""
     from . import matching
 
     du = jnp.abs(quv[:, 0:1] - tuv[None, :, 0])

@@ -137,3 +137,21 @@ def test_local_ba_reduces_cost_on_perturbed_map():
     uv, _ = camera.project(K, lie.se3_apply(m2.kf_pose[0], jnp.asarray(est)))
     err = np.linalg.norm(np.asarray(uv) - np.asarray(m2.kf_uv[0, :half]), axis=-1)
     assert np.median(err) < 0.5
+
+
+def test_select_local_points_matmul_matches_scatter():
+    """The obs_A (MXU matvec) fast path of tracking.select_local_points
+    must select the same local window as the scatter fallback."""
+    from orbslam2_with_quadrics_tpu.models import tracking as tr
+
+    m, pts, desc, T0, T1, half, n_pts = make_two_kf_map()
+    # a plausible frame->point assignment: track the first third of points
+    obs_point = jnp.full((CFG.n_features,), -1, jnp.int32)
+    obs_point = obs_point.at[: half // 2].set(jnp.arange(half // 2))
+
+    ids_ref, kf_ref = tr.select_local_points(m, obs_point, 4, 64, None)
+    obs_A = ms.observation_matrix(m)
+    ids_fast, kf_fast = tr.select_local_points(m, obs_point, 4, 64, obs_A)
+
+    np.testing.assert_array_equal(np.asarray(kf_ref), np.asarray(kf_fast))
+    np.testing.assert_array_equal(np.asarray(ids_ref), np.asarray(ids_fast))

@@ -159,3 +159,40 @@ def test_pose_graph_zero_residual_fixed_point():
         S, ei, ej, meas, jnp.ones((4,)), jnp.zeros((n,)).at[0].set(1.0), iters=5
     )
     np.testing.assert_allclose(np.asarray(S_opt), np.asarray(S), atol=2e-3)
+
+
+def test_epnp_minimal_and_weighted():
+    """EPnP (reference PnPsolver.h:79-125): exact on clean minimal sets,
+    and the weighted refit path ignores outlier rows."""
+    import numpy as np
+    from orbslam2_with_quadrics_tpu.ops import camera, lie, pnp
+
+    K = jnp.asarray([520.0, 521.0, 325.0, 250.0])
+    rng = np.random.RandomState(11)
+    ok = 0
+    for _ in range(10):
+        pts = jnp.asarray(
+            rng.rand(4, 3) * np.array([4, 3, 4]) + np.array([-2, -1.5, 4]),
+            jnp.float32,
+        )
+        T_true = lie.se3_exp(
+            jnp.asarray(rng.randn(6) * np.array([0.1] * 3 + [0.3] * 3), jnp.float32)
+        )
+        uv, _ = camera.project(K, lie.se3_apply(T_true, pts))
+        T = pnp.epnp_pose(pts, uv, K)
+        uvp, _ = camera.project(K, lie.se3_apply(T, pts))
+        if float(jnp.max(jnp.abs(uvp - uv))) < 0.1:
+            ok += 1
+    assert ok >= 8  # rare degenerate simplices may fail; RANSAC absorbs them
+
+    # weighted: 24 clean + 8 garbage rows, weights mask the garbage
+    pts = jnp.asarray(
+        rng.rand(32, 3) * np.array([4, 3, 4]) + np.array([-2, -1.5, 4]), jnp.float32
+    )
+    T_true = lie.se3_exp(jnp.asarray([0.05, -0.03, 0.08, 0.2, -0.1, 0.15]))
+    uv, _ = camera.project(K, lie.se3_apply(T_true, pts))
+    uv = uv.at[24:].add(300.0)
+    w = jnp.concatenate([jnp.ones((24,)), jnp.zeros((8,))])
+    T = pnp.epnp_pose(pts, uv, K, w=w)
+    err = jnp.linalg.norm(lie.se3_log(lie.se3_compose(T, lie.se3_inverse(T_true))))
+    assert float(err) < 1e-2
