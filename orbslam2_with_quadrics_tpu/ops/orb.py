@@ -120,31 +120,48 @@ def fast_score(img, arc_len: int = 9):
     shifted = jnp.stack(
         [jnp.roll(img, (-int(dy), -int(dx)), axis=(-2, -1)) for dy, dx in _CIRCLE]
     )  # [16,...,H,W] (batches over leading axes of img)
-    diff = shifted - img[None]
-    wmin_b, wmin_d = diff, -diff
-    acc_b, acc_d = wmin_b, wmin_d
-    for j in range(1, arc_len):
-        acc_b = jnp.minimum(acc_b, jnp.roll(diff, -j, axis=0))
-        acc_d = jnp.minimum(acc_d, jnp.roll(-diff, -j, axis=0))
-    score = jnp.maximum(jnp.max(acc_b, axis=0), jnp.max(acc_d, axis=0))
+    # the window-min/max accumulation dominates HBM traffic (the [16,H,W]
+    # stack is re-read every pass): run it in bf16 (image contrasts are
+    # 8-bit scale, so bf16's ~2^-8 relative step only perturbs near-tie
+    # scores) and accumulate windows in log depth (4 passes instead of 8)
+    diff = (shifted - img[None]).astype(jnp.bfloat16)
+    # circular window-min of length 9 = min(win8, roll(d, -8)),
+    # win8 from doubling: 1 -> 2 -> 4 -> 8
+    assert arc_len == 9
+    mn, mx = diff, diff
+    for s in (1, 2, 4):
+        mn = jnp.minimum(mn, jnp.roll(mn, -s, axis=0))
+        mx = jnp.maximum(mx, jnp.roll(mx, -s, axis=0))
+    mn = jnp.minimum(mn, jnp.roll(diff, -8, axis=0))   # bright: window min of d
+    mx = jnp.maximum(mx, jnp.roll(diff, -8, axis=0))   # dark: window max of d
+    score = jnp.maximum(
+        jnp.max(mn, axis=0), jnp.max(-mx, axis=0)
+    ).astype(img.dtype)
     return score
 
 
 def nms3(score):
     """3x3 non-maximum suppression over the trailing two axes; ties broken
-    toward the first pixel. Batches over leading axes."""
+    toward the raster-first pixel. Batches over leading axes.
+
+    Tie-breaking must be strict against raster-earlier neighbours: with
+    quantized scores (fast_score accumulates in bf16) equal-valued
+    adjacent pixels are common, and a plain ``>=`` test lets whole tied
+    clusters survive, clumping keypoints."""
     nd = score.ndim
     pad = [(0, 0)] * (nd - 2) + [(1, 1), (1, 1)]
     p = jnp.pad(score, pad, constant_values=-jnp.inf)
-    neigh = jnp.stack(
-        [
-            p[..., dy : dy + score.shape[-2], dx : dx + score.shape[-1]]
-            for dy in range(3)
-            for dx in range(3)
-            if not (dy == 1 and dx == 1)
-        ]
-    )
-    return score >= jnp.max(neigh, axis=0)
+    keep = jnp.ones(score.shape, bool)
+    for dy in range(3):
+        for dx in range(3):
+            if dy == 1 and dx == 1:
+                continue
+            n = p[..., dy : dy + score.shape[-2], dx : dx + score.shape[-1]]
+            if (dy, dx) < (1, 1):  # raster-earlier neighbour wins ties
+                keep = keep & (score > n)
+            else:
+                keep = keep & (score >= n)
+    return keep
 
 
 
