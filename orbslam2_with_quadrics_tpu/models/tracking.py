@@ -90,7 +90,14 @@ def select_local_points(
             obs_ok & kf_mask[:, None], m.kf_obs_point, P
         ).reshape(-1)
         pmask = pmask.at[sel_obs].set(True)[:P] & m.pt_valid
-    pt_ids = jnp.nonzero(pmask, size=n_local_pt, fill_value=P)[0].astype(jnp.int32)
+    # indices of the selected points as a fixed-size list: top_k over a
+    # key that ranks selected points by ascending index (jnp.nonzero with
+    # a size= pad lowers to a serialized scatter chain on TPU; top_k over
+    # [P] is a single fast kernel and yields the same ascending order)
+    key = jnp.where(pmask, jnp.float32(2 * P) - jnp.arange(P, dtype=jnp.float32),
+                    -jnp.arange(P, dtype=jnp.float32))
+    topv, topi = jax.lax.top_k(key, min(n_local_pt, P))
+    pt_ids = jnp.where(topv > 0, topi, P).astype(jnp.int32)
     return pt_ids, kf_mask
 
 
@@ -176,8 +183,13 @@ def track_frame(
         jnp.where(mi >= 0, qa_ids, -1), mode="drop"
     )
 
+    # stage A's pose only seeds the local-map projection window; the final
+    # pose accuracy comes from the stage-B optimization below, so a short
+    # schedule suffices here (the reference runs the full 4-round
+    # PoseOptimization twice; 2x3 measured: same inliers, half the
+    # sequential LM latency)
     T_a, _, n_a = _pose_opt_from_obs(
-        m, feats, T_pred, obs_a, Kc, bf, inv_sigma2_tab
+        m, feats, T_pred, obs_a, Kc, bf, inv_sigma2_tab, rounds=2, iters=3
     )
 
     # ---------------- stage B: local-map tracking -----------------------
@@ -250,7 +262,9 @@ def track_frame(
     )
 
 
-def _pose_opt_from_obs(m, feats, T_init, obs_point, Kc, bf, inv_sigma2_tab):
+def _pose_opt_from_obs(
+    m, feats, T_init, obs_point, Kc, bf, inv_sigma2_tab, rounds=4, iters=5
+):
     """Motion-only LM on the kp->point assignment."""
     P = m.pt_pos.shape[0]
     pid = jnp.where(obs_point >= 0, obs_point, 0)
@@ -270,4 +284,6 @@ def _pose_opt_from_obs(m, feats, T_init, obs_point, Kc, bf, inv_sigma2_tab):
         has_stereo.astype(jnp.float32),
         inv_s2,
         valid.astype(jnp.float32),
+        rounds=rounds,
+        iters=iters,
     )
