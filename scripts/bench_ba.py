@@ -60,16 +60,26 @@ def main(n_cams=32, n_pts=8192, obs_per_cam=1024):
     )
 
     n_iters = 10
-    solve = jax.jit(
-        lambda p: ba.ba_solve(p, n_iters=n_iters, cg_iters=40, use_huber=True)
-    )
-    out = solve(prob)
-    jax.block_until_ready(out)
     reps = 5
+
+    # honest measurement (see scripts/bench_profile.py docstring): scan
+    # over reps with the carry flowing into the problem so no rep can be
+    # deduplicated or hoisted
+    @jax.jit
+    def run(poses0):
+        def body(c, _):
+            p, cost = ba.ba_solve(
+                prob._replace(poses=c), n_iters=n_iters, cg_iters=40,
+                use_huber=True,
+            )
+            return p.poses, cost
+        return jax.lax.scan(body, poses0, None, length=reps)
+
+    out = run(prob.poses)
+    jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = solve(prob)
-        jax.block_until_ready(out)  # per-call sync: honest latency
+    out = run(prob.poses)
+    jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / reps
     ips = n_iters / dt
     print(
@@ -79,7 +89,7 @@ def main(n_cams=32, n_pts=8192, obs_per_cam=1024):
                 "value": round(ips, 2),
                 "unit": f"LM iters/s ({n_cams}c/{n_pts}p/{O}obs, cg=40)",
                 "platform": jax.devices()[0].platform,
-                "final_cost": float(out[1]),
+                "final_cost": float(out[1][-1]),
             }
         )
     )

@@ -110,3 +110,40 @@ def test_per_level_counts_sum():
     counts = orb.per_level_counts(1000, 8, 1.2)
     assert sum(counts) == 1000
     assert counts[0] > counts[-1] > 0
+
+
+def test_extract_descriptors_match_reference_path():
+    """The production extract() (patch slice + MXU one-hot lookups) must be
+    bit-identical to the per-level reference path (ic_angle +
+    brief_descriptors on the full blurred level)."""
+    rng = np.random.RandomState(0)
+    H, W = 240, 320
+    yy, xx = np.mgrid[0:H, 0:W]
+    img = jnp.asarray(
+        ((np.sin(yy * 0.3) * np.cos(xx * 0.23) + rng.rand(H, W)) * 127).astype(
+            np.float32
+        )
+    )
+    f = orb.extract(img, n_features=256, n_levels=4)
+    v = np.asarray(f.valid)
+    shapes = orb.pyramid_shapes(H, W, 4, 1.2)
+    pyr = orb.build_pyramid(img, shapes)
+    checked = 0
+    for l in range(2):  # levels 0-1 cover most keypoints
+        sel = v & (np.asarray(f.level) == l)
+        if sel.sum() == 0:
+            continue
+        s = 1.2 ** l
+        uv = np.asarray(f.uv)[sel] / s
+        yx = jnp.asarray(
+            np.stack([uv[:, 1], uv[:, 0]], -1).round().astype(np.int32)
+        )
+        ok = jnp.ones((yx.shape[0],), bool)
+        ang_ref = orb.ic_angle(pyr[l], yx, ok)
+        d_ref = orb.brief_descriptors(orb.gaussian_blur7(pyr[l]), yx, ang_ref, ok)
+        np.testing.assert_allclose(
+            np.asarray(f.angle)[sel], np.asarray(ang_ref), atol=1e-4
+        )
+        np.testing.assert_array_equal(np.asarray(f.desc)[sel], np.asarray(d_ref))
+        checked += int(sel.sum())
+    assert checked > 100
