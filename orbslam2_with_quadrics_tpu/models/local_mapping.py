@@ -313,6 +313,67 @@ def cull_keyframes(m: ms.MapState, kf_id):
     )
 
 
+@partial(jax.jit, static_argnames=("n_iters",))
+def run_global_ba(m: ms.MapState, Kc, bf, inv_sigma2_tab, n_iters: int = 10):
+    """Global bundle adjustment: EVERY valid keyframe free (keyframe 0
+    fixed as gauge) and every valid point free
+    (Optimizer::GlobalBundleAdjustemnt / BundleAdjustment,
+    src/Optimizer.cc:41-237, KF0 fixed at :79; invoked post-loop from
+    src/LoopClosing.cc:645-749 and at mono init src/Tracking.cc:686).
+
+    Unlike :func:`run_local_ba` there is no covisibility-window gather:
+    the edge table is the full [K,N] observation table, so keyframes
+    sharing zero points with any particular keyframe are still
+    re-optimized — the property the post-loop GBA exists for.
+    """
+    K, N = m.kf_obs_point.shape
+    P = m.pt_pos.shape[0]
+
+    obs = m.kf_obs_point
+    okobs = (obs >= 0) & m.kf_kp_valid & m.kf_valid[:, None]
+    pnt = jnp.clip(obs, 0, P - 1)
+    okobs = okobs & m.pt_valid[pnt.reshape(-1)].reshape(K, N)
+
+    uvr = jnp.concatenate(
+        [m.kf_uv, jnp.where(m.kf_ur > 0, m.kf_ur, 0.0)[..., None]], axis=-1
+    ).reshape(-1, 3)
+    is_stereo = (m.kf_ur > 0).reshape(-1).astype(jnp.float32)
+    is2 = inv_sigma2_tab[
+        jnp.clip(m.kf_level, 0, inv_sigma2_tab.shape[0] - 1)
+    ].reshape(-1)
+    cam_idx = jnp.broadcast_to(
+        jnp.arange(K, dtype=jnp.int32)[:, None], (K, N)
+    ).reshape(-1)
+
+    fixed_cam = (
+        (~m.kf_valid) | (jnp.arange(K) == 0)
+    ).astype(jnp.float32)
+    prob = ba.BAProblem(
+        poses=m.kf_pose,
+        points=m.pt_pos,
+        K=Kc,
+        bf=bf,
+        cam_idx=cam_idx,
+        pnt_idx=pnt.reshape(-1),
+        uvr=uvr,
+        is_stereo=is_stereo,
+        inv_sigma2=is2,
+        valid=okobs.reshape(-1).astype(jnp.float32),
+        fixed_cam=fixed_cam,
+        fixed_pnt=(~m.pt_valid).astype(jnp.float32),
+    )
+    prob, _ = ba.ba_solve(prob, n_iters=5, cg_iters=40, use_huber=True)
+    _, inl = ba.edge_chi2(prob)
+    prob = prob._replace(valid=prob.valid * inl.astype(jnp.float32))
+    prob, cost = ba.ba_solve(prob, n_iters=n_iters, cg_iters=40, use_huber=False)
+
+    kf_pose = jnp.where(
+        (m.kf_valid & (jnp.arange(K) != 0))[:, None], prob.poses, m.kf_pose
+    )
+    pt_pos = jnp.where(m.pt_valid[:, None], prob.points, m.pt_pos)
+    return m._replace(kf_pose=kf_pose, pt_pos=pt_pos), cost
+
+
 @partial(jax.jit, static_argnames=("window", "n_iters", "boundary"))
 def run_local_ba(m: ms.MapState, kf_id, Kc, bf, inv_sigma2_tab, window: int = 16,
                  n_iters: int = 10, boundary: int = 32):

@@ -427,10 +427,10 @@ class System:
                         if cfg.async_gba:
                             self._launch_global_ba(slot)
                         else:
-                            self.map, _ = lm.run_local_ba(
-                                self.map, jnp.asarray(slot), cfg.frontend.K,
+                            self.map, _ = lm.run_global_ba(
+                                self.map, cfg.frontend.K,
                                 jnp.asarray(cfg.frontend.bf), self._inv_sigma2,
-                                window=cfg.map.max_keyframes, n_iters=10,
+                                n_iters=10,
                             )
                         break
 
@@ -465,10 +465,10 @@ class System:
         gen = self._gba_gen
 
         def run():
-            m2, _ = lm.run_local_ba(
-                snap, jnp.asarray(slot), cfg.frontend.K,
+            m2, _ = lm.run_global_ba(
+                snap, cfg.frontend.K,
                 jnp.asarray(cfg.frontend.bf), self._inv_sigma2,
-                window=cfg.map.max_keyframes, n_iters=10,
+                n_iters=10,
             )
             jax.block_until_ready(m2.kf_pose)
             if gen == self._gba_gen:  # superseded by a newer loop? drop
@@ -720,9 +720,9 @@ class System:
         )
         # full BA on the initial map (GlobalBundleAdjustemnt(20),
         # src/Tracking.cc:686)
-        self.map, _ = lm.run_local_ba(
-            self.map, s1, cfg.frontend.K, jnp.asarray(cfg.frontend.bf),
-            self._inv_sigma2, window=4, n_iters=20,
+        self.map, _ = lm.run_global_ba(
+            self.map, cfg.frontend.K, jnp.asarray(cfg.frontend.bf),
+            self._inv_sigma2, n_iters=20,
         )
         self.T_cw = self.map.kf_pose[int(s1)]
         self.prev_obs = self.map.kf_obs_point[int(s1)]
