@@ -196,3 +196,33 @@ def test_epnp_minimal_and_weighted():
     T = pnp.epnp_pose(pts, uv, K, w=w)
     err = jnp.linalg.norm(lie.se3_log(lie.se3_compose(T, lie.se3_inverse(T_true))))
     assert float(err) < 1e-2
+
+
+def test_pose_graph_matrix_free_matches_dense():
+    """The matrix-free PCG essential-graph solver must agree with the
+    dense-Hessian reference implementation on a noisy random graph."""
+    n = 10
+    key = jax.random.PRNGKey(3)
+    S_true = jax.vmap(lie.sim3_exp)(jax.random.normal(key, (n, 7)) * 0.4)
+    # chain + a few chords
+    ei = list(range(n - 1)) + [0, 2, 4]
+    ej = list(range(1, n)) + [5, 7, 9]
+    ei = jnp.asarray(ei, jnp.int32)
+    ej = jnp.asarray(ej, jnp.int32)
+    meas = jax.vmap(
+        lambda i, j: lie.sim3_compose(S_true[j], lie.sim3_inverse(S_true[i]))
+    )(ei, ej)
+    # noisy start
+    S0 = jax.vmap(lie.sim3_retract)(
+        S_true, jax.random.normal(jax.random.PRNGKey(4), (n, 7)) * 0.1
+    )
+    S0 = S0.at[0].set(S_true[0])
+    w = jnp.ones((ei.shape[0],))
+    fixed = jnp.zeros((n,)).at[0].set(1.0)
+    S_cg = pose_graph.optimize_pose_graph(S0, ei, ej, meas, w, fixed, iters=15)
+    S_dn = pose_graph.optimize_pose_graph_dense(
+        S0, ei, ej, meas, w, fixed, iters=15
+    )
+    # both must land on the (unique, fully-constrained) truth
+    np.testing.assert_allclose(np.asarray(S_cg), np.asarray(S_true), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(S_cg), np.asarray(S_dn), atol=5e-3)
