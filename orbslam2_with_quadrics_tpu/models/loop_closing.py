@@ -17,8 +17,209 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import lie, orb, pose_graph, sim3solver, vocab
+from ..ops import camera, lie, matching, orb, pose_graph, sim3solver, vocab
 from . import map_state as ms
+
+
+@partial(jax.jit, static_argnames=("n_nb", "budget"))
+def gather_loop_points(m: ms.MapState, cand, n_nb: int = 10, budget: int = 4096):
+    """Fixed-size id list of the loop side's map points: everything
+    observed by the candidate keyframe and its top covisible neighbors
+    (the reference's mvpLoopMapPoints, src/LoopClosing.cc:340-352).
+    Returns [budget] int32 point ids, P = padding."""
+    K, N = m.kf_obs_point.shape
+    P = m.pt_pos.shape[0]
+    W = ms.covisibility(m)
+    nb_w, nb_ids = jax.lax.top_k(W[cand], min(n_nb, K))
+    kf_mask = (
+        jnp.zeros((K,), bool).at[nb_ids].set(nb_w > 0).at[cand].set(True)
+        & m.kf_valid
+    )
+    obs_ok = (m.kf_obs_point >= 0) & m.kf_kp_valid & kf_mask[:, None]
+    pmask = jnp.zeros((P + 1,), bool).at[
+        jnp.where(obs_ok, m.kf_obs_point, P).reshape(-1)
+    ].set(True)[:P] & m.pt_valid
+    key = jnp.where(
+        pmask,
+        jnp.float32(2 * P) - jnp.arange(P, dtype=jnp.float32),
+        -jnp.arange(P, dtype=jnp.float32),
+    )
+    topv, topi = jax.lax.top_k(key, min(budget, P))
+    return jnp.where(topv > 0, topi, P).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("n_levels", "scale", "height", "width"))
+def project_loop_points(
+    m: ms.MapState,
+    slot,
+    S_cur_w_corr,
+    loop_ids,
+    Kc,
+    n_levels: int = 8,
+    scale: float = 1.2,
+    height: int = 480,
+    width: int = 640,
+    radius: float = 10.0,
+):
+    """SearchByProjection of the loop side's points into the current
+    keyframe through the CORRECTED Sim3 pose (reference
+    src/LoopClosing.cc:355-385 -> ORBmatcher::SearchByProjection overload
+    at src/ORBmatcher.cc:290). Scale in Scw cancels in the perspective
+    divide, exactly as the reference projects with Scw directly.
+
+    Returns (match_kp [L] int32 keypoint idx in the current KF or -1)."""
+    P = m.pt_pos.shape[0]
+    L = loop_ids.shape[0]
+    sf, _, _ = orb.scale_factors(n_levels, scale)
+    pid = jnp.clip(loop_ids, 0, P - 1)
+    ok = (loop_ids < P) & m.pt_valid[pid]
+    pw = m.pt_pos[pid]
+    pc = lie.sim3_apply(S_cur_w_corr, pw)
+    uv, z = camera.project(Kc, pc)
+    dist = jnp.linalg.norm(pc, axis=-1)
+    vis = (
+        ok
+        & (z > 0.05)
+        & (uv[:, 0] >= 0) & (uv[:, 0] < width)
+        & (uv[:, 1] >= 0) & (uv[:, 1] < height)
+    )
+    # scale prediction from (unscaled) distance band
+    s = lie.sim3_scale(S_cur_w_corr)
+    ratio = jnp.maximum(
+        m.pt_max_dist[pid] / jnp.maximum(dist / jnp.maximum(s, 1e-9), 1e-6),
+        1e-6,
+    )
+    lvl = jnp.clip(
+        jnp.ceil(jnp.log(ratio) / jnp.log(scale)).astype(jnp.int32),
+        0, n_levels - 1,
+    )
+    mi, _ = matching.match_by_projection(
+        proj_uv=uv,
+        proj_valid=vis,
+        pred_level=lvl,
+        query_desc=m.pt_desc[pid],
+        query_angle=jnp.zeros((L,)),
+        feats_uv=m.kf_uv[slot],
+        feats_level=m.kf_level[slot],
+        feats_desc=m.kf_desc[slot],
+        feats_angle=m.kf_angle[slot],
+        feats_valid=m.kf_kp_valid[slot],
+        radius=radius,
+        scale_factors=sf,
+        th=matching.TH_LOW,
+        ratio=1.0,
+    )
+    return mi
+
+
+@partial(jax.jit, static_argnames=("n_group", "n_levels", "scale", "height", "width"))
+def fuse_loop_points(
+    m: ms.MapState,
+    slot,
+    loop_ids,
+    Kc,
+    n_group: int = 12,
+    n_levels: int = 8,
+    scale: float = 1.2,
+    height: int = 480,
+    width: int = 640,
+):
+    """SearchAndFuse (reference src/LoopClosing.cc:518-542, 587-613 ->
+    ORBmatcher::Fuse with 'replace' semantics, src/ORBmatcher.cc:977):
+    project the loop side's map points into the corrected covisible group
+    of the current keyframe; where the projection lands on a keypoint
+    already holding a different point, the LOOP point always wins (the
+    duplicate triangulated on the way back is merged away); free keypoints
+    gain an observation.
+
+    Call AFTER the essential-graph correction so group poses/points are in
+    the corrected frame (the reference equivalently uses CorrectedSim3)."""
+    K, N = m.kf_obs_point.shape
+    P = m.pt_pos.shape[0]
+    sf, _, _ = orb.scale_factors(n_levels, scale)
+
+    W = ms.covisibility(m)
+    n_nb = min(n_group, K)
+    nb_w, nb_ids = jax.lax.top_k(W[slot], n_nb)
+    group = jnp.concatenate([jnp.asarray([slot], jnp.int32), nb_ids.astype(jnp.int32)])
+    group_ok = jnp.concatenate([jnp.asarray([True]), nb_w > 0]) & m.kf_valid[group]
+
+    pid = jnp.clip(loop_ids, 0, P - 1)
+    src_ok = (loop_ids < P) & m.pt_valid[pid]
+    pw = m.pt_pos[pid]
+    desc = m.pt_desc[pid]
+    L = loop_ids.shape[0]
+
+    def per_kf(g, ok_g, carry):
+        remap, obs_flat = carry
+        T = m.kf_pose[g]
+        pc = lie.se3_apply(T, pw)
+        uv, z = camera.project(Kc, pc)
+        dist = jnp.linalg.norm(pc, axis=-1)
+        vis = (
+            src_ok
+            & ok_g
+            & (z > 0.05)
+            & (uv[:, 0] >= 0) & (uv[:, 0] < width)
+            & (uv[:, 1] >= 0) & (uv[:, 1] < height)
+        )
+        ratio = jnp.maximum(
+            m.pt_max_dist[pid] / jnp.maximum(dist, 1e-6), 1e-6
+        )
+        lvl = jnp.clip(
+            jnp.ceil(jnp.log(ratio) / jnp.log(scale)).astype(jnp.int32),
+            0, n_levels - 1,
+        )
+        mi, _ = matching.match_by_projection(
+            proj_uv=uv,
+            proj_valid=vis,
+            pred_level=lvl,
+            query_desc=desc,
+            query_angle=jnp.zeros((L,)),
+            feats_uv=m.kf_uv[g],
+            feats_level=m.kf_level[g],
+            feats_desc=m.kf_desc[g],
+            feats_angle=m.kf_angle[g],
+            feats_valid=m.kf_kp_valid[g],
+            radius=4.0,
+            scale_factors=sf,
+            th=matching.TH_LOW,
+            ratio=1.0,
+        )
+        hit = mi >= 0
+        tgt_kp = jnp.clip(mi, 0, N - 1)
+        src_pt = pid  # the loop point each query row represents
+        existing = obs_flat[g * N + tgt_kp]
+        # free keypoint -> add observation of the loop point
+        add = hit & (existing < 0)
+        obs_flat = obs_flat.at[
+            jnp.where(add, g * N + tgt_kp, K * N)
+        ].set(jnp.where(add, src_pt, -1), mode="drop")
+        # occupied by a different point -> the loop point replaces it
+        dup = hit & (existing >= 0) & (existing != src_pt)
+        remap = remap.at[jnp.where(dup, jnp.clip(existing, 0, P - 1), P)].set(
+            jnp.where(dup, src_pt, 0), mode="drop"
+        )
+        return remap, obs_flat
+
+    remap = jnp.arange(P, dtype=jnp.int32)
+    obs_flat = m.kf_obs_point.reshape(-1)
+    for i in range(group.shape[0]):
+        remap, obs_flat = per_kf(group[i], group_ok[i], (remap, obs_flat))
+
+    # resolve merge chains (a->b, b->c  =>  a->c) by pointer jumping
+    for _ in range(3):
+        remap = remap[remap]
+
+    lost = remap != jnp.arange(P, dtype=jnp.int32)
+    obs = obs_flat.reshape(K, N)
+    obs = jnp.where(obs >= 0, remap[jnp.clip(obs, 0, P - 1)], obs)
+    pt_valid = m.pt_valid & ~lost
+    obs_ok2 = (obs >= 0) & pt_valid[jnp.clip(obs, 0, P - 1)]
+    n_merged = jnp.sum(lost.astype(jnp.int32))
+    return m._replace(
+        kf_obs_point=jnp.where(obs_ok2, obs, -1), pt_valid=pt_valid
+    ), n_merged
 
 
 @partial(jax.jit, static_argnames=())
@@ -62,6 +263,11 @@ class LoopCloser:
         self.consistency: list[tuple[set, int]] = []  # (group KFs, count)
         self.covis_th = 3  # mnCovisibilityConsistencyTh (LoopClosing.cc:43)
         self.last_loop_kf = -999
+        # persistent loop edges (reference KeyFrame::AddLoopEdge,
+        # src/KeyFrame.cc:424-435, re-used by every later essential-graph
+        # solve at src/Optimizer.cc:828-858) — a second closure must not
+        # undo the first
+        self.loop_edges: list[tuple[int, int]] = []
 
     def add_keyframe(self, slot: int, desc, valid):
         word, _ = vocab.transform_any(self.voc, desc, valid)
@@ -138,12 +344,14 @@ class LoopCloser:
         return consistent_enough
 
     def attempt_close(
-        self, m: ms.MapState, slot: int, cand: int, Kc, n_levels=8, scale=1.2
+        self, m: ms.MapState, slot: int, cand: int, Kc, n_levels=8, scale=1.2,
+        height=480, width=640,
     ):
         """ComputeSim3 + CorrectLoop (src/LoopClosing.cc:231-585).
 
         Returns (new_map, ok). On success keyframe poses are pose-graph
-        corrected and points remapped.
+        corrected, points remapped, and duplicated landmarks from the
+        revisited place fused into the loop side's originals.
         """
         N = m.kf_obs_point.shape[1]
         P = m.pt_pos.shape[0]
@@ -194,7 +402,31 @@ class LoopCloser:
         S_cnd_w = lie.sim3_from_se3(T_cnd)
         S_cur_w_corr = lie.sim3_compose(S, S_cnd_w)
 
+        # 5. loop-point expansion gate (src/LoopClosing.cc:355-385):
+        #    project the loop side's covisible-neighborhood points into the
+        #    current KF through the corrected Sim3; total matches
+        #    (Sim3-inlier BoW pairs + projection hits) must reach 40
+        loop_ids = gather_loop_points(m, jnp.asarray(cand, jnp.int32))
+        proj_kp = project_loop_points(
+            m, jnp.asarray(slot, jnp.int32), S_cur_w_corr, loop_ids, Kc,
+            n_levels=n_levels, scale=scale, height=height, width=width,
+        )
+        matched_kp = jnp.zeros((N,), bool).at[
+            jnp.where(proj_kp >= 0, proj_kp, N)
+        ].set(True, mode="drop")
+        matched_kp = matched_kp | (pair_ok & inl)
+        n_total = int(jnp.sum(matched_kp))
+        if n_total < 40:
+            return m, False
+
         m = self._correct_graph(m, slot, cand, S_cur_w_corr)
+        # 6. SearchAndFuse: merge the duplicated landmarks of the revisited
+        #    place into the loop side's originals (src/LoopClosing.cc:518-542)
+        m, _ = fuse_loop_points(
+            m, jnp.asarray(slot, jnp.int32), loop_ids, Kc,
+            n_levels=n_levels, scale=scale, height=height, width=width,
+        )
+        self.loop_edges.append((int(slot), int(cand)))
         self.last_loop_kf = slot
         return m, True
 
@@ -238,6 +470,15 @@ class LoopCloser:
                     ei.append(k)
                     ej.append(int(j))
                     w.append(1.0)
+        # previously-closed loops stay as constraints so a later closure
+        # cannot re-open them (reference pKF->GetLoopEdges() at
+        # src/Optimizer.cc:828-858); their measurements come from the
+        # CURRENT (already-corrected) poses, which satisfy those loops
+        for (pi, pj) in self.loop_edges:
+            if kf_valid[pi] and kf_valid[pj]:
+                ei.append(pi)
+                ej.append(pj)
+                w.append(5.0)
         ei.append(slot)
         ej.append(cand)
         w.append(5.0)  # the loop edge

@@ -418,6 +418,8 @@ class System:
                         self.map, slot, cand, cfg.frontend.K,
                         n_levels=cfg.frontend.n_levels,
                         scale=cfg.frontend.scale_factor,
+                        height=cfg.frontend.height,
+                        width=cfg.frontend.width,
                     )
                     if ok:
                         self.n_loops_closed += 1
@@ -786,13 +788,26 @@ class System:
         return out
 
     def full_trajectory(self):
-        """Per-frame poses re-anchored on final optimized keyframe poses
-        (SaveTrajectoryTUM logic, src/System.cc:322-380)."""
+        """Per-frame poses re-anchored on final optimized keyframe poses,
+        walking the spanning tree past culled reference keyframes with
+        their frozen T_child_parent (SaveTrajectoryTUM logic,
+        src/System.cc:322-380; the while(pKF->isBad()) walk at :361-368)."""
         out = []
         kf_pose = np.asarray(self.map.kf_pose)
+        kf_valid = np.asarray(self.map.kf_valid)
+        kf_parent = np.asarray(self.map.kf_parent)
+        kf_tcp = np.asarray(self.map.kf_tcp)
+        K = len(kf_valid)
         for fid, ts, ref, T_rel in self.trajectory:
+            r = int(ref)
+            T_rel_j = jnp.asarray(T_rel)
+            hops = 0
+            while not kf_valid[r] and kf_parent[r] >= 0 and hops < K:
+                T_rel_j = lie.se3_compose(T_rel_j, jnp.asarray(kf_tcp[r]))
+                r = int(kf_parent[r])
+                hops += 1
             T = np.asarray(
-                lie.se3_compose(jnp.asarray(T_rel), jnp.asarray(kf_pose[ref]))
+                lie.se3_compose(T_rel_j, jnp.asarray(kf_pose[r]))
             )
             out.append((fid, ts, T))
         return out

@@ -57,6 +57,7 @@ def save_system(path: str, slam) -> None:
     if slam.loop_closer is not None:
         state["bow"] = np.asarray(slam.loop_closer.bow)
         state["words"] = np.asarray(slam.loop_closer.words)
+        state["loop_edges"] = list(slam.loop_closer.loop_edges)
         state["vocab"] = {
             "k": slam.loop_closer.voc.k,
             "levels": slam.loop_closer.voc.levels,
@@ -113,3 +114,6 @@ def load_system(path: str, slam) -> None:
         slam.loop_closer = LoopCloser(voc, slam.cfg.map)
         slam.loop_closer.bow = jnp.asarray(state["bow"])
         slam.loop_closer.words = jnp.asarray(state["words"])
+        slam.loop_closer.loop_edges = [
+            tuple(e) for e in state.get("loop_edges", [])
+        ]

@@ -15,7 +15,7 @@ import numpy as np
 
 from orbslam2_with_quadrics_tpu.models import loop_closing as lc
 from orbslam2_with_quadrics_tpu.models import map_state as ms
-from orbslam2_with_quadrics_tpu.ops import camera, lie, vocab
+from orbslam2_with_quadrics_tpu.ops import camera, lie, orb, vocab
 
 K = jnp.asarray([300.0, 300.0, 160.0, 120.0])
 N = 256  # keypoints per KF
@@ -119,6 +119,9 @@ def build_drifted_loop(n_kf=10, n_home=120, n_route=40):
             jnp.zeros((N,)), desc_full, kp_valid, obs,
             jnp.asarray(k - 1, jnp.int32),
         )
+    # sane descriptors/normals/scale bands (the pipeline maintains these;
+    # the loop-point projection gate predicts octaves from the band)
+    m = ms.update_point_stats(m, orb.scale_factors(4, 1.2)[0])
     return m, poses_true, S_drift, cfg
 
 
@@ -164,3 +167,19 @@ def test_attempt_close_removes_drift():
     clean = np.asarray(m2.pt_pos)[clean_mask][: dup_after.shape[0]]
     med = np.median(np.linalg.norm(dup_after - clean, axis=1))
     assert med < 0.25, f"duplicate home points still offset by {med}"
+    # SearchAndFuse merged the duplicated home landmarks into the loop
+    # side's originals: the valid point count DROPS (LoopClosing.cc:518-542)
+    n_before = int(jnp.sum(m.pt_valid))
+    n_after = int(jnp.sum(m2.pt_valid))
+    n_dup = int(dup_mask.sum())
+    assert n_after <= n_before - 0.5 * n_dup, (
+        f"expected >=50% of {n_dup} duplicates fused, "
+        f"got {n_before - n_after}"
+    )
+    # the fused duplicates' observations now point at the originals: the
+    # last keyframe must still observe >= as many points as before
+    assert int(jnp.sum(m2.kf_obs_point[n_kf - 1] >= 0)) >= int(
+        jnp.sum(m.kf_obs_point[n_kf - 1] >= 0)
+    ) - 5
+    # and the closure is recorded as a persistent loop edge
+    assert closer.loop_edges == [(n_kf - 1, 0)]
