@@ -308,8 +308,21 @@ def cull_keyframes(m: ms.MapState, kf_id):
     do = redundant[first]
     kf_valid = m.kf_valid.at[first].set(jnp.where(do, False, m.kf_valid[first]))
     row = jnp.where(do, jnp.full((N,), -1, jnp.int32), obs[first])
+    # freeze T_child_parent for trajectory re-anchoring (reference mTcp,
+    # KeyFrame::SetBadFlag src/KeyFrame.cc:515-517)
+    parent = m.kf_parent[first]
+    pc = jnp.clip(parent, 0, K - 1)
+    tcp = lie.se3_compose(m.kf_pose[first], lie.se3_inverse(m.kf_pose[pc]))
+    kf_tcp = m.kf_tcp.at[first].set(jnp.where(do & (parent >= 0), tcp, m.kf_tcp[first]))
+    # reparent children of the culled keyframe to its parent (grandparent)
+    # — the reference picks the best covisible parent-candidate
+    # (src/KeyFrame.cc:459-514); the grandparent is always in that set and
+    # keeps the spanning tree connected for GBA propagation and savers
+    child = do & (m.kf_parent == first) & (jnp.arange(K) != first)
+    kf_parent = jnp.where(child, parent, m.kf_parent)
     return m._replace(
-        kf_valid=kf_valid, kf_obs_point=obs.at[first].set(row)
+        kf_valid=kf_valid, kf_obs_point=obs.at[first].set(row),
+        kf_tcp=kf_tcp, kf_parent=kf_parent,
     )
 
 

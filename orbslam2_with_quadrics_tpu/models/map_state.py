@@ -45,6 +45,11 @@ class MapState(NamedTuple):
     kf_valid: jnp.ndarray      # [K] bool
     kf_frame_id: jnp.ndarray   # [K] int32 source frame index
     kf_parent: jnp.ndarray     # [K] int32 spanning-tree parent (-1 root)
+    kf_tcp: jnp.ndarray        # [K,7] T_child_parent frozen when the KF is
+                               # culled (reference mTcp, KeyFrame.cc:515-517)
+                               # so trajectories re-anchored on a culled KF
+                               # can walk the spanning tree to a live one
+                               # (System::SaveTrajectoryTUM, System.cc:361-368)
     kf_uv: jnp.ndarray         # [K,N,2] undistorted keypoints
     kf_ur: jnp.ndarray         # [K,N] right-image u (<0 = mono)
     kf_level: jnp.ndarray      # [K,N] int32
@@ -77,6 +82,7 @@ def empty_map(cfg: MapConfig) -> MapState:
         kf_valid=jnp.zeros((K,), bool),
         kf_frame_id=jnp.full((K,), -1, i32),
         kf_parent=jnp.full((K,), -1, i32),
+        kf_tcp=jnp.tile(jnp.asarray([1.0, 0, 0, 0, 0, 0, 0], f32), (K, 1)),
         kf_uv=jnp.zeros((K, N, 2), f32),
         kf_ur=jnp.full((K, N), -1.0, f32),
         kf_level=jnp.zeros((K, N), i32),

@@ -155,3 +155,84 @@ def test_select_local_points_matmul_matches_scatter():
 
     np.testing.assert_array_equal(np.asarray(kf_ref), np.asarray(kf_fast))
     np.testing.assert_array_equal(np.asarray(ids_ref), np.asarray(ids_fast))
+
+
+def _chain_kf_map(n_kf=5, n_pts=48):
+    """n_kf keyframes in a parent chain, ALL observing the same points —
+    middle keyframes are redundant by the >=90% rule."""
+    m = ms.empty_map(CFG)
+    N = CFG.n_features
+    pts = jax.random.uniform(
+        jax.random.PRNGKey(2), (n_pts, 3),
+        minval=jnp.asarray([-1.5, -1.0, 4.0]), maxval=jnp.asarray([1.5, 1.0, 8.0]),
+    )
+    desc = rand_desc(jax.random.PRNGKey(1), N)
+    m, ids = ms.insert_points(
+        m, pts, desc[:n_pts], jnp.zeros((n_pts,), jnp.int32),
+        jnp.ones((n_pts,), bool),
+    )
+    for k in range(n_kf):
+        T = lie.se3_exp(jnp.asarray([0.0, 0.0, 0.0, 0.12 * k, 0.0, 0.0]))
+        uv, z = camera.project(K, lie.se3_apply(T, pts))
+        uv_full = jnp.zeros((N, 2)).at[:n_pts].set(uv)
+        obs = jnp.full((N,), -1, jnp.int32).at[:n_pts].set(ids)
+        m, _ = ms.insert_keyframe(
+            m, T, jnp.asarray(k, jnp.int32), uv_full,
+            jnp.full((N,), -1.0), jnp.zeros((N,), jnp.int32), jnp.zeros((N,)),
+            desc, jnp.ones((N,), bool), obs, jnp.asarray(k - 1, jnp.int32),
+        )
+    return m
+
+
+def test_cull_keyframes_reparents_children_and_freezes_tcp():
+    """KeyFrame::SetBadFlag reconnects children and records mTcp
+    (reference src/KeyFrame.cc:459-551); culling must not orphan the
+    spanning tree or lose the relative pose needed by trajectory savers."""
+    m = _chain_kf_map()
+    m2 = lm.cull_keyframes(m, jnp.asarray(4))
+    culled = np.where(~np.asarray(m2.kf_valid)[:5] & np.asarray(m.kf_valid)[:5])[0]
+    assert len(culled) == 1, "exactly one redundant KF culled per call"
+    c = int(culled[0])
+    assert 0 < c < 4
+    # child reparented to grandparent
+    parents = np.asarray(m2.kf_parent)
+    assert parents[c + 1] == c - 1
+    # frozen Tcp reproduces the culled pose from its parent's pose
+    T_rec = lie.se3_compose(m2.kf_tcp[c], m2.kf_pose[c - 1])
+    np.testing.assert_allclose(
+        np.asarray(T_rec), np.asarray(m.kf_pose[c]), atol=1e-5
+    )
+
+
+def test_trajectory_walks_past_culled_reference():
+    """SaveTrajectory* must produce identical poses after its reference KF
+    is culled (reference System.cc:361-368 spanning-tree walk)."""
+    from orbslam2_with_quadrics_tpu.models import frontend as fe
+    from orbslam2_with_quadrics_tpu.models import system as sysm
+
+    m = _chain_kf_map()
+    cfg = sysm.SystemConfig(
+        frontend=fe.FrontendConfig(
+            height=240, width=320, n_features=CFG.n_features, n_levels=4,
+            fx=300.0, fy=300.0, cx=160.0, cy=120.0,
+        ),
+        map=CFG,
+    )
+    slam = sysm.System(cfg)
+    slam.map = m
+    m2 = lm.cull_keyframes(m, jnp.asarray(4))
+    c = int(
+        np.where(~np.asarray(m2.kf_valid)[:5] & np.asarray(m.kf_valid)[:5])[0][0]
+    )
+    # two frames anchored on the (about to be culled) KF c
+    T_rel = lie.se3_exp(jnp.asarray([0.01, 0.02, -0.01, 0.05, 0.0, 0.1]))
+    slam.trajectory = [
+        (0, 0.0, c, np.asarray(lie.se3_identity())),
+        (1, 0.1, c, np.asarray(T_rel)),
+    ]
+    before = [T for _, _, T in slam.full_trajectory()]
+
+    slam.map = m2
+    after = [T for _, _, T in slam.full_trajectory()]
+    for b, a in zip(before, after):
+        np.testing.assert_allclose(a, b, atol=1e-5)
