@@ -269,6 +269,24 @@ class LoopCloser:
         # undo the first
         self.loop_edges: list[tuple[int, int]] = []
 
+    def grow(self, new_K: int):
+        """Extend the per-keyframe database rows after the map's keyframe
+        pool grows (map_state.grow_map preserves slot ids)."""
+        K_old = self.words.shape[0]
+        if new_K <= K_old:
+            return
+
+        def pad(a, fill):
+            ext = jnp.full((new_K - K_old,) + a.shape[1:], fill, a.dtype)
+            return jnp.concatenate([a, ext], axis=0)
+
+        if self.sparse:
+            self.kf_wid = pad(self.kf_wid, -1)
+            self.kf_wval = pad(self.kf_wval, 0.0)
+        else:
+            self.bow = pad(self.bow, 0.0)
+        self.words = pad(self.words, -1)
+
     def add_keyframe(self, slot: int, desc, valid):
         word, _ = vocab.transform_any(self.voc, desc, valid)
         if self.sparse:
@@ -290,6 +308,41 @@ class LoopCloser:
             )
         qbow = vocab.bow_vector(word, self.voc.n_words, self.voc.idf)
         return score_database(self.bow, qbow, kf_valid)
+
+    def detect_reloc_candidates(
+        self, m: ms.MapState, word, max_groups: int = 5
+    ) -> list[int]:
+        """DetectRelocalizationCandidates (reference
+        src/KeyFrameDatabase.cc:199-309): keyframes sharing words with the
+        lost frame, gated at 0.8x the max common-word count, then each
+        candidate's similarity score is ACCUMULATED over its top-10
+        covisible group; groups within 0.75 of the best accumulated score
+        return their best-scoring member. Unlike loop detection there is
+        no minimum-score floor (the lost frame has no covisible
+        neighborhood to derive one from)."""
+        scores, common = self.score_query(word, m.kf_valid)
+        scores = np.asarray(scores)
+        common = np.asarray(common)
+        if common.max(initial=0) <= 0:
+            return []
+        min_common = 0.8 * float(common.max())
+        cand = np.where((common > min_common) & (scores > 0))[0]
+        if len(cand) == 0:
+            return []
+        W = np.asarray(ms.covisibility(m))
+        is_cand = np.zeros(len(scores), bool)
+        is_cand[cand] = True
+        groups = []
+        for c in cand:
+            nb = np.argsort(-W[c])[:10]
+            members = np.concatenate([[c], nb[W[c][nb] > 0]])
+            memb = members[is_cand[members]]
+            acc = float(scores[memb].sum())
+            best = int(memb[np.argmax(scores[memb])])
+            groups.append((acc, best))
+        best_acc = max(a for a, _ in groups)
+        keep = {b for a, b in groups if a >= 0.75 * best_acc}
+        return sorted(keep, key=lambda k: -scores[k])[:max_groups]
 
     def detect(self, m: ms.MapState, slot: int) -> list[int]:
         """DetectLoop (src/LoopClosing.cc:103-229): query the database,

@@ -312,6 +312,97 @@ def update_point_stats(m: MapState, scale_factors):
     )
 
 
+@jax.jit
+def compact_points(m: MapState):
+    """Reclaim culled point slots: stable-compact valid points to the low
+    end of the pool and remap the observation table.
+
+    The reference has no pool at all (MapPoints are heap objects freed on
+    SetBadFlag, src/Map.cc); with fixed-capacity arrays, compaction is how
+    a long sequence (KITTI 00 is 4,541 frames) keeps allocating after
+    point culling without growing the arrays. Returns
+    ``(new_map, new_idx [P])`` where ``new_idx[old_id]`` is the point's
+    new slot (only meaningful where the old slot was valid) so callers can
+    remap ids they hold (frame observations, quadric landmark members)."""
+    P = m.pt_pos.shape[0]
+    valid = m.pt_valid
+    new_idx = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    # perm[r] = old index of the r-th valid point (stable)
+    perm = jnp.argsort(jnp.where(valid, 0, 1), stable=True)
+
+    def g(a):
+        return a[perm]
+
+    obs = m.kf_obs_point
+    ok = (obs >= 0) & valid[jnp.clip(obs, 0, P - 1)]
+    obs2 = jnp.where(ok, new_idx[jnp.clip(obs, 0, P - 1)], -1)
+    m2 = m._replace(
+        pt_pos=g(m.pt_pos),
+        pt_valid=g(m.pt_valid),
+        pt_desc=g(m.pt_desc),
+        pt_normal=g(m.pt_normal),
+        pt_min_dist=g(m.pt_min_dist),
+        pt_max_dist=g(m.pt_max_dist),
+        pt_found=g(m.pt_found),
+        pt_visible=g(m.pt_visible),
+        pt_first_kf=g(m.pt_first_kf),
+        n_pt=n_valid,
+        kf_obs_point=obs2,
+    )
+    return m2, new_idx
+
+
+def grow_map(m: MapState, new_K: int | None = None, new_P: int | None = None):
+    """Grow the keyframe and/or point pools by zero-padding at the high
+    end (ids are preserved, so nothing needs remapping). Shape-specialized
+    jits recompile once per growth — callers should double capacity so
+    growth is O(log) over a run. Host-side (unjitted): runs at most a
+    handful of times per sequence."""
+    K, N = m.kf_obs_point.shape
+    P = m.pt_pos.shape[0]
+    new_K = new_K or K
+    new_P = new_P or P
+    assert new_K >= K and new_P >= P
+
+    def pad(a, n_new, fill):
+        if a.shape[0] == n_new:
+            return a
+        pad_shape = (n_new - a.shape[0],) + a.shape[1:]
+        return jnp.concatenate([a, jnp.full(pad_shape, fill, a.dtype)], axis=0)
+
+    ident = jnp.asarray([1.0, 0, 0, 0, 0, 0, 0], jnp.float32)
+    kf_pose = m.kf_pose
+    kf_tcp = m.kf_tcp
+    if new_K > K:
+        ext = jnp.tile(ident, (new_K - K, 1))
+        kf_pose = jnp.concatenate([kf_pose, ext], axis=0)
+        kf_tcp = jnp.concatenate([kf_tcp, ext], axis=0)
+    return m._replace(
+        kf_pose=kf_pose,
+        kf_valid=pad(m.kf_valid, new_K, False),
+        kf_frame_id=pad(m.kf_frame_id, new_K, -1),
+        kf_parent=pad(m.kf_parent, new_K, -1),
+        kf_tcp=kf_tcp,
+        kf_uv=pad(m.kf_uv, new_K, 0.0),
+        kf_ur=pad(m.kf_ur, new_K, -1.0),
+        kf_level=pad(m.kf_level, new_K, 0),
+        kf_angle=pad(m.kf_angle, new_K, 0.0),
+        kf_desc=pad(m.kf_desc, new_K, 0),
+        kf_kp_valid=pad(m.kf_kp_valid, new_K, False),
+        kf_obs_point=pad(m.kf_obs_point, new_K, -1),
+        pt_pos=pad(m.pt_pos, new_P, 0.0),
+        pt_valid=pad(m.pt_valid, new_P, False),
+        pt_desc=pad(m.pt_desc, new_P, 0),
+        pt_normal=pad(m.pt_normal, new_P, 0.0),
+        pt_min_dist=pad(m.pt_min_dist, new_P, 0.0),
+        pt_max_dist=pad(m.pt_max_dist, new_P, 1e9),
+        pt_found=pad(m.pt_found, new_P, 0),
+        pt_visible=pad(m.pt_visible, new_P, 0),
+        pt_first_kf=pad(m.pt_first_kf, new_P, -1),
+    )
+
+
 def camera_centers(m: MapState):
     """[K,3] camera centers C = -R^T t."""
     from ..ops import lie

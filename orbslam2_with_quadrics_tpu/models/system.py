@@ -35,6 +35,11 @@ class SystemConfig:
     min_frames_between_kf: int = 0
     max_frames_between_kf: int = 30
     kf_ref_ratio: float = 0.9       # (src/Tracking.cc:1027-1044 thRefRatio)
+    kf_close_tracked_th: int = 100  # bNeedToInsertClose: tracked close pts
+    kf_close_untracked_th: int = 70 # below/above these -> insert
+                                    # (src/Tracking.cc:1016; the constants
+                                    # assume ~2000-feature frames — scale
+                                    # down for smaller feature budgets)
     min_inliers_track: int = 30
     min_inliers_kf: int = 15
     local_ba_window: int = 16
@@ -123,11 +128,29 @@ class System:
         self._gba_thread = None
         self._gba_result = None
         self._gba_gen = 0
+        # bumped by point-pool compaction (point ids are remapped);
+        # an async-GBA snapshot from an older epoch can still apply its
+        # keyframe poses (kf ids are never remapped) but not its point ids
+        self._map_epoch = 0
         # big-change counter for MapChanged() (reference Map::mnBigChangeIdx,
         # src/Map.cc:70-80, read by System::MapChanged src/System.cc:282-293)
         self._big_change_idx = 0
         self._last_big_change_idx = 0
         self.last_feats = None
+        self._init_fe_cfg = None  # lazily-built 2x-feature init extractor
+        self._n_ref_cache = None  # TrackedMapPoints cache (keyframe rate)
+
+    def _init_frontend(self):
+        """2x-feature extractor config used only while NOT_INITIALIZED
+        (reference mpIniORBextractor with 2*nFeatures,
+        src/Tracking.cc:124-125); _mono_init compacts the surviving rows
+        back to the map's per-keyframe feature budget."""
+        if self._init_fe_cfg is None:
+            self._init_fe_cfg = dataclasses.replace(
+                self.cfg.frontend,
+                n_features=2 * self.cfg.frontend.n_features,
+            )
+        return self._init_fe_cfg
 
     # ------------------------------------------------------------------
     # public per-frame entries
@@ -142,7 +165,14 @@ class System:
             "(reference System::TrackMonocular sensor check, src/System.cc:220-224)"
         )
         self._pending_detections = detections
-        feats = fe.extract_mono(self.cfg.frontend, jnp.asarray(img, jnp.float32))
+        # before initialization the reference extracts 2x the features
+        # (mpIniORBextractor, src/Tracking.cc:124-125, selected at :258)
+        fcfg = (
+            self._init_frontend()
+            if self.state == self.NOT_INITIALIZED
+            else self.cfg.frontend
+        )
+        feats = fe.extract_mono(fcfg, jnp.asarray(img, jnp.float32))
         return self._track(feats, timestamp)
 
     def track_rgbd(self, img, depth, timestamp=0.0, detections=None):
@@ -332,7 +362,7 @@ class System:
 
         # localization-only mode never inserts keyframes
         # (src/Tracking.cc:809 mbOnlyTracking gate in NeedNewKeyFrame)
-        if not self.only_tracking and self._need_new_keyframe(n_inl, feats):
+        if not self.only_tracking and self._need_new_keyframe(n_inl, feats, res):
             self._insert_keyframe(feats, res)
 
         self.frame_id += 1
@@ -341,23 +371,132 @@ class System:
 
     # ------------------------------------------------------------------
 
-    def _need_new_keyframe(self, n_inl, feats) -> bool:
+    def _need_new_keyframe(self, n_inl, feats, res) -> bool:
         """NeedNewKeyFrame (src/Tracking.cc:977-1061), synchronous-pipeline
-        subset: mapping never blocks us, so the 'idle' conditions are true."""
+        subset: mapping never blocks us, so the 'idle' condition c1b is
+        always true when the min-frame gap has passed."""
         cfg = self.cfg
         since = self.frame_id - self.last_kf_frame
-        if self.map.n_kf >= cfg.map.max_keyframes:
-            return False
-        if n_inl < cfg.min_inliers_kf:
-            return False
+
+        # close-point census for stereo/RGB-D (src/Tracking.cc:1002-1019):
+        # tracked close points vs close keypoints not yet in the map
+        need_close = False
+        if cfg.sensor in ("stereo", "rgbd"):
+            close_th = cfg.frontend.depth_th * cfg.frontend.bf / max(
+                cfg.frontend.fx, 1e-6
+            )
+            close = feats.valid & (feats.depth > 0) & (feats.depth < close_th)
+            n_tracked_close = int(jnp.sum(close & (res.obs_point >= 0)))
+            n_nontracked_close = int(jnp.sum(close & (res.obs_point < 0)))
+            need_close = (n_tracked_close < cfg.kf_close_tracked_th) and (
+                n_nontracked_close > cfg.kf_close_untracked_th
+            )
+
+        # nRefMatches = reference KF's map points with >= minObs
+        # observations, recomputed each frame
+        # (KeyFrame::TrackedMapPoints, src/KeyFrame.cc:258-287, called at
+        # src/Tracking.cc:988-991), NOT the inlier count frozen at
+        # insertion time
+        n_kfs = int(self.map.n_kf)
+        min_obs = 3 if n_kfs > 2 else 2
+        n_ref = max(self._ref_kf_tracked(min_obs), 1)
+
+        # thRefRatio (src/Tracking.cc:1021-1027): 0.75 stereo/RGB-D, 0.4
+        # while the map has <=2 keyframes, 0.9 for mono (overrides both)
+        ratio = 0.75
+        if n_kfs <= 2:
+            ratio = 0.4
+        if cfg.sensor == "mono":
+            ratio = cfg.kf_ref_ratio
+
         c1a = since >= cfg.max_frames_between_kf
-        c2 = (n_inl < cfg.kf_ref_ratio * max(self.ref_kf_matches, 1)) and (
-            since >= cfg.min_frames_between_kf
+        c1b = since >= cfg.min_frames_between_kf  # mapping always idle here
+        c1c = cfg.sensor != "mono" and (n_inl < 0.25 * n_ref or need_close)
+        c2 = (
+            n_inl < ratio * n_ref or need_close
+        ) and n_inl > cfg.min_inliers_kf
+        return bool((c1a or c1b or c1c) and c2)
+
+    def _ref_kf_tracked(self, min_obs: int) -> int:
+        """KeyFrame::TrackedMapPoints(minObs) for the reference keyframe
+        (src/KeyFrame.cc:258-287), cached across frames: the observation
+        table only changes at keyframe rate (keyed on array identity,
+        like the observation-matrix cache)."""
+        src = self.map.kf_obs_point
+        key = (self.ref_kf, min_obs)
+        if (
+            self._n_ref_cache is None
+            or self._n_ref_cache[0] is not src
+            or self._n_ref_cache[1] != key
+        ):
+            obs_cnt = ms.point_obs_count(self.map)
+            row = src[self.ref_kf]
+            P = self.map.pt_pos.shape[0]
+            n = int(
+                jnp.sum((row >= 0) & (obs_cnt[jnp.clip(row, 0, P - 1)] >= min_obs))
+            )
+            self._n_ref_cache = (src, key, n)
+        return self._n_ref_cache[2]
+
+    def _ensure_capacity(self):
+        """Never silently stop mapping at pool capacity (the reference has
+        no capacity limits at all — MapPoints/KeyFrames are heap objects,
+        src/Map.cc). Point pool: compact culled slots first
+        (map_state.compact_points); when genuinely full, double the pool.
+        Keyframe pool: double when within 2 of capacity. Each doubling
+        recompiles the shape-specialized jits once — O(log) growths per
+        run — and is announced loudly on stderr."""
+        import sys
+
+        cfg = self.cfg
+        m = self.map
+        P = int(m.pt_pos.shape[0])
+        N = cfg.map.n_features
+        # each keyframe can allocate up to ~2N rows (depth spawn + triang.)
+        if P - int(m.n_pt) < 3 * N:
+            old_valid = np.asarray(m.pt_valid)
+            n_valid = int(old_valid.sum())
+            if P - n_valid >= max(3 * N, P // 8):
+                self.map, new_idx = ms.compact_points(m)
+                self._map_epoch += 1
+                self._remap_point_ids(np.asarray(new_idx), old_valid)
+            else:
+                print(
+                    f"[orbslam2-tpu] point pool full ({n_valid}/{P} live): "
+                    f"growing to {2 * P} (one-time recompile)",
+                    file=sys.stderr, flush=True,
+                )
+                self.map = ms.grow_map(self.map, new_P=2 * P)
+        K = int(self.map.kf_valid.shape[0])
+        if K - int(self.map.n_kf) < 2:
+            print(
+                f"[orbslam2-tpu] keyframe pool full ({int(self.map.n_kf)}/{K}): "
+                f"growing to {2 * K} (one-time recompile)",
+                file=sys.stderr, flush=True,
+            )
+            self.map = ms.grow_map(self.map, new_K=2 * K)
+            if self.loop_closer is not None:
+                self.loop_closer.grow(2 * K)
+
+    def _remap_point_ids(self, new_idx, old_valid):
+        """Point-id fixup after compact_points for ids held outside the
+        MapState (frame observations, quadric landmark member sets)."""
+        P = len(old_valid)
+        po = np.asarray(self.prev_obs)
+        ok = (po >= 0) & old_valid[np.clip(po, 0, P - 1)]
+        self.prev_obs = jnp.asarray(
+            np.where(ok, new_idx[np.clip(po, 0, P - 1)], -1), jnp.int32
         )
-        return bool(c1a or c2)
+        if self.quadrics is not None:
+            for lmk in self.quadrics.landmarks:
+                lmk.point_ids = {
+                    int(new_idx[p]) for p in lmk.point_ids
+                    if p < P and old_valid[p]
+                }
 
     def _insert_keyframe(self, feats, res: tr.TrackResult):
         cfg = self.cfg
+        self._ensure_capacity()
         parent = jnp.asarray(self.ref_kf, jnp.int32)
         self.map, slot = ms.insert_keyframe(
             self.map,
@@ -406,13 +545,18 @@ class System:
         )
         self.map = lm.cull_keyframes(self.map, jnp.asarray(slot))
 
-        # --- place recognition / loop closing ---
+        # --- place recognition database (always maintained: the reference
+        # always loads the vocabulary and populates the KeyFrameDatabase —
+        # relocalization needs it even with loop closing disabled,
+        # src/System.cc:64-88, src/Tracking.cc:1341-1502) ---
+        self._maybe_train_vocab(feats)
+        if self.loop_closer is not None:
+            self.loop_closer.add_keyframe(
+                slot, self.map.kf_desc[slot], self.map.kf_kp_valid[slot]
+            )
+        # --- loop closing ---
         if cfg.enable_loop_closing:
-            self._maybe_train_vocab(feats)
             if self.loop_closer is not None:
-                self.loop_closer.add_keyframe(
-                    slot, self.map.kf_desc[slot], self.map.kf_kp_valid[slot]
-                )
                 for cand in self.loop_closer.detect(self.map, slot):
                     self.map, ok = self.loop_closer.attempt_close(
                         self.map, slot, cand, cfg.frontend.K,
@@ -466,6 +610,8 @@ class System:
         self._gba_gen += 1
         gen = self._gba_gen
 
+        epoch = self._map_epoch
+
         def run():
             m2, _ = lm.run_global_ba(
                 snap, cfg.frontend.K,
@@ -474,7 +620,7 @@ class System:
             )
             jax.block_until_ready(m2.kf_pose)
             if gen == self._gba_gen:  # superseded by a newer loop? drop
-                self._gba_result = (snap, m2)
+                self._gba_result = (snap, m2, epoch)
 
         self._gba_thread = threading.Thread(target=run, daemon=True)
         self._gba_thread.start()
@@ -484,16 +630,21 @@ class System:
             self._gba_thread.join()
         if self._gba_result is None:
             return
-        snap, gba = self._gba_result
+        snap, gba, epoch = self._gba_result
         self._gba_result = None
         self._gba_thread = None
         m = self.map
         K = m.kf_valid.shape[0]
 
-        in_gba_kf = np.asarray(snap.kf_valid) & np.asarray(m.kf_valid)
+        # the map may have GROWN since the snapshot (keyframe/point ids
+        # are preserved by grow_map, so pad the snapshot masks with False)
+        Ks = snap.kf_valid.shape[0]
+        snap_kf_valid = np.zeros((K,), bool)
+        snap_kf_valid[:Ks] = np.asarray(snap.kf_valid)
+        in_gba_kf = snap_kf_valid & np.asarray(m.kf_valid)
         old_pose = np.asarray(m.kf_pose)
         new_pose = old_pose.copy()
-        new_pose[in_gba_kf] = np.asarray(gba.kf_pose)[in_gba_kf]
+        new_pose[in_gba_kf] = np.asarray(gba.kf_pose)[in_gba_kf[:Ks]]
         # spanning-tree propagation to keyframes created during GBA
         # (LoopClosing.cc:677-708): Tcw_new = Tcw_old Twc_parent_old
         # Tcw_parent_new, walking until every new KF has a corrected parent
@@ -523,10 +674,19 @@ class System:
             pending = rest
 
         # points: GBA result for snapshot points, reference-KF correction
-        # for points created meanwhile (LoopClosing.cc:710-737)
-        in_gba_pt = np.asarray(snap.pt_valid) & np.asarray(m.pt_valid)
+        # for points created meanwhile (LoopClosing.cc:710-737). If a
+        # point-pool compaction remapped ids since the snapshot (epoch
+        # bump), snapshot point ids are stale: fall back to the
+        # reference-KF correction for EVERY point (kf ids stay valid).
+        P = m.pt_pos.shape[0]
+        Ps = snap.pt_valid.shape[0]
+        snap_pt_valid = np.zeros((P,), bool)
+        if epoch == self._map_epoch:
+            snap_pt_valid[:Ps] = np.asarray(snap.pt_valid)
+        in_gba_pt = snap_pt_valid & np.asarray(m.pt_valid)
         pos = np.asarray(m.pt_pos).copy()
-        pos[in_gba_pt] = np.asarray(gba.pt_pos)[in_gba_pt]
+        if in_gba_pt.any():
+            pos[in_gba_pt] = np.asarray(gba.pt_pos)[in_gba_pt[:Ps]]
         new_pt = np.asarray(m.pt_valid) & ~in_gba_pt
         if new_pt.any():
             ref = np.clip(np.asarray(m.pt_first_kf), 0, K - 1)
@@ -582,21 +742,22 @@ class System:
         self._vocab_pool = []
 
     def _relocalize(self, feats) -> bool:
-        """Relocalization (reference src/Tracking.cc:1341-1502): BoW
-        candidates -> word-bucketed matching -> PnP RANSAC -> pose LM."""
+        """Relocalization (reference src/Tracking.cc:1341-1502):
+        covisibility-group-scored BoW candidates
+        (KeyFrameDatabase::DetectRelocalizationCandidates,
+        src/KeyFrameDatabase.cc:199-309) -> word-bucketed matching (>=15)
+        -> PnP RANSAC -> pose LM (>=10 to continue) -> guided projection
+        rescue against the candidate keyframe's points -> accept at >=50
+        final inliers (the reference's staged 10/50 gates at
+        src/Tracking.cc:1414-1494)."""
         from ..ops import pnp, vocab as vocab_mod
 
         if self.loop_closer is None:
             return False
         lcs = self.loop_closer
         word, _ = vocab_mod.transform_any(lcs.voc, feats.desc, feats.valid)
-        scores, common = lcs.score_query(word, self.map.kf_valid)
-        scores = np.asarray(scores)
-        order = np.argsort(-scores)[:5]
         P = self.map.pt_pos.shape[0]
-        for cand in order:
-            if scores[cand] <= 0:
-                break
+        for cand in lcs.detect_reloc_candidates(self.map, word):
             mi, _ = vocab_mod.match_by_words(
                 word, feats.desc, feats.valid,
                 lcs.words[cand], self.map.kf_desc[cand],
@@ -613,9 +774,14 @@ class System:
                     jnp.clip(feats.level, 0, self._inv_sigma2.shape[0] - 1)
                 ],
             )
-            if int(n_inl) < 15:
+            if int(n_inl) < 10:
+                # reference keeps candidates with >=10 PnP+opt inliers
+                # alive for the projection rescue (src/Tracking.cc:1437)
                 continue
-            # polish with motion-only LM on the matches
+            # guided rescue: seed from the PnP inliers, re-match by
+            # projection (motion window then the tight local window) and
+            # re-optimize — the superset of the reference's narrowing
+            # 10px/3px SearchByProjection iterations
             obs = jnp.where(inl & ok, pt, -1)
             res = tr.track_frame(
                 self.map, feats, T, obs, self.cfg.frontend.K,
@@ -625,7 +791,7 @@ class System:
                 scale=self.cfg.frontend.scale_factor,
                 obs_A=self._get_obs_A(),
             )
-            if int(res.n_inliers) >= 30:
+            if int(res.n_inliers) >= 50:
                 self.T_cw = res.T_cw
                 self.prev_obs = res.obs_point
                 self.velocity = lie.se3_identity()
@@ -669,8 +835,8 @@ class System:
             self.init_frame_id = self.frame_id
             return
 
-        N = idx.shape[0]
-        tgt = jnp.clip(idx, 0, N - 1)
+        M = idx.shape[0]  # 2x the map's feature budget (init extractor)
+        tgt = jnp.clip(idx, 0, M - 1)
         uv1 = self.init_feats.uv_und
         uv2 = feats.uv_und[tgt]
         res = init2view.initialize_two_view(
@@ -684,38 +850,65 @@ class System:
         depths = np.asarray(res.points)[:, 2]
         med = float(np.median(depths[good])) if good.any() else 1.0
         inv_med = 1.0 / max(med, 1e-6)
-        pts = res.points * inv_med
+        pts = np.asarray(res.points) * inv_med
         T21 = np.asarray(res.T_21)
         T21 = jnp.asarray(T21).at[4:7].multiply(inv_med)
 
+        # compact the 2x init rows to the map's per-keyframe budget:
+        # triangulated matches first, then other valid keypoints (kept for
+        # future triangulation). Rows stay ALIGNED between the two
+        # keyframes — row i of KF0 and of KF1 observe the same new point.
+        Nm = cfg.map.n_features
+        valid0 = np.asarray(self.init_feats.valid)
+        tgt_np = np.asarray(tgt)
+        sel0 = np.argsort(
+            np.where(good, 0, np.where(valid0, 1, 2)), kind="stable"
+        )[:Nm]
+        good0 = good[sel0]
+        valid1 = np.asarray(feats.valid)
+        sel1 = np.full((Nm,), 0, np.int64)
+        gi = np.where(good0)[0]
+        sel1[gi] = tgt_np[sel0[gi]]
+        used = np.zeros(len(valid1), bool)
+        used[sel1[gi]] = True
+        fill = np.where(valid1 & ~used)[0]
+        rest = np.where(~good0)[0]
+        k_fill = min(len(rest), len(fill))
+        sel1[rest[:k_fill]] = fill[:k_fill]
+        row1_ok = np.zeros((Nm,), bool)
+        row1_ok[gi] = True
+        row1_ok[rest[:k_fill]] = True
+
+        def take(a, sel):
+            return jnp.asarray(np.asarray(a)[sel])
+
         # KF0 (identity) + KF1 (T21)
-        obs0 = jnp.where(res.good, jnp.arange(N, dtype=jnp.int32), -1)
         self.map, s0 = ms.insert_keyframe(
             self.map, lie.se3_identity(),
             jnp.asarray(self.init_frame_id, jnp.int32),
-            uv1, self.init_feats.ur, self.init_feats.level,
-            self.init_feats.angle, self.init_feats.desc,
-            self.init_feats.valid, jnp.full((N,), -1, jnp.int32),
+            take(self.init_feats.uv_und, sel0), take(self.init_feats.ur, sel0),
+            take(self.init_feats.level, sel0), take(self.init_feats.angle, sel0),
+            take(self.init_feats.desc, sel0), jnp.asarray(valid0[sel0]),
+            jnp.full((Nm,), -1, jnp.int32),
             jnp.asarray(-1, jnp.int32),
         )
         self.map, s1 = ms.insert_keyframe(
             self.map, T21, jnp.asarray(self.frame_id, jnp.int32),
-            feats.uv_und, feats.ur, feats.level, feats.angle, feats.desc,
-            feats.valid, jnp.full((N,), -1, jnp.int32), s0,
+            take(feats.uv_und, sel1), take(feats.ur, sel1),
+            take(feats.level, sel1), take(feats.angle, sel1),
+            take(feats.desc, sel1), jnp.asarray(valid1[sel1] & row1_ok),
+            jnp.full((Nm,), -1, jnp.int32), s0,
         )
         self.map, pids = ms.insert_points(
-            self.map, pts, self.init_feats.desc,
-            jnp.full((N,), int(s0), jnp.int32), res.good,
+            self.map, jnp.asarray(pts[sel0]),
+            take(self.init_feats.desc, sel0),
+            jnp.full((Nm,), int(s0), jnp.int32), jnp.asarray(good0),
         )
-        # wire observations in both KFs
-        obs_row0 = jnp.where(pids >= 0, pids, -1)
-        obs_row1 = jnp.full((N,), -1, jnp.int32)
-        obs_row1 = obs_row1.at[jnp.where(pids >= 0, tgt, N)].set(
-            jnp.where(pids >= 0, pids, -1), mode="drop"
-        )
+        # wire observations in both KFs (rows aligned by construction)
+        obs_row = jnp.where(pids >= 0, pids, -1)
         self.map = self.map._replace(
-            kf_obs_point=self.map.kf_obs_point.at[int(s0)].set(obs_row0)
-            .at[int(s1)].set(obs_row1)
+            kf_obs_point=self.map.kf_obs_point.at[int(s0)].set(obs_row)
+            .at[int(s1)].set(obs_row)
         )
         self.map = ms.update_point_stats(
             self.map, orb.scale_factors(cfg.frontend.n_levels, cfg.frontend.scale_factor)[0]

@@ -430,17 +430,29 @@ def sparse_l1_scores(kf_wid, kf_wval, q_wid, q_wval, kf_valid):
     keyframe's sparse BoW. Identity used: for L1-normalized a, b,
     1 - 0.5*|a-b|_1 = 0.5 * sum_{w in both} (|a_w| + |b_w| - |a_w - b_w|),
     so only the word intersection matters (what DBoW2's inverted file
-    exploits; here it is one dense [K,Nw,Nq] equality mask)."""
-    eq = (
-        (kf_wid[:, :, None] == q_wid[None, None, :])
-        & (q_wid >= 0)[None, None, :]
-        & (kf_wid >= 0)[:, :, None]
-    )
-    kv = kf_wval[:, :, None]
-    qv = q_wval[None, None, :]
-    inter = jnp.where(eq, jnp.abs(kv) + jnp.abs(qv) - jnp.abs(kv - qv), 0.0)
-    scores = 0.5 * jnp.sum(inter, axis=(1, 2))
-    common = jnp.sum(eq, axis=(1, 2)).astype(jnp.int32)
+    exploits). Both sides come from :func:`sparse_bow`, whose word ids are
+    sorted-unique with -1 end pads, so the intersection is a sort-merge
+    join: one searchsorted per keyframe word, O(K*Nw*log Nq) time and
+    O(K*Nw) memory (the previous dense [K,Nw,Nq] equality mask was ~0.5 GB
+    at K=512, Nq=1024 — it does not survive KITTI-00 scale)."""
+    nq = q_wid.shape[0]
+    big = jnp.iinfo(jnp.int32).max
+    # restore sortedness: sparse_bow pads with -1 AFTER the sorted ids
+    q = jnp.where(q_wid >= 0, q_wid, big)
+
+    def row(wid, wval):
+        # kf pads -> big-1: never equals a real q word (ids < big-1 in
+        # practice) nor the q pad sentinel big
+        w = jnp.where(wid >= 0, wid, big - 1)
+        pos = jnp.clip(jnp.searchsorted(q, w), 0, nq - 1)
+        hit = (q[pos] == w) & (wid >= 0)
+        qv = q_wval[pos]
+        inter = jnp.where(
+            hit, jnp.abs(wval) + jnp.abs(qv) - jnp.abs(wval - qv), 0.0
+        )
+        return 0.5 * jnp.sum(inter), jnp.sum(hit).astype(jnp.int32)
+
+    scores, common = jax.vmap(row)(kf_wid, kf_wval)
     scores = jnp.where(kf_valid, scores, -1.0)
     common = jnp.where(kf_valid, common, 0)
     return scores, common

@@ -236,3 +236,71 @@ def test_trajectory_walks_past_culled_reference():
     after = [T for _, _, T in slam.full_trajectory()]
     for b, a in zip(before, after):
         np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_compact_points_preserves_observations():
+    """compact_points reclaims culled slots; observations remap so every
+    keyframe still sees the same 3D positions."""
+    m, *_ = make_two_kf_map()
+    P = m.pt_pos.shape[0]
+    # cull every third point
+    kill = np.zeros((P,), bool)
+    kill[::3] = True
+    valid = np.asarray(m.pt_valid) & ~kill
+    obs = np.asarray(m.kf_obs_point)
+    obs_ok = (obs >= 0) & valid[np.clip(obs, 0, P - 1)]
+    m = m._replace(
+        pt_valid=jnp.asarray(valid),
+        kf_obs_point=jnp.asarray(np.where(obs_ok, obs, -1)),
+    )
+    pos_before = {}
+    for k in range(int(m.n_kf)):
+        row = np.asarray(m.kf_obs_point[k])
+        for i, p in enumerate(row):
+            if p >= 0:
+                pos_before[(k, i)] = np.asarray(m.pt_pos[p])
+
+    m2, new_idx = ms.compact_points(m)
+    assert int(m2.n_pt) == int(valid.sum())
+    # valid points are packed at the low end
+    v2 = np.asarray(m2.pt_valid)
+    assert v2[: int(m2.n_pt)].all() and not v2[int(m2.n_pt):].any()
+    for (k, i), pos in pos_before.items():
+        p2 = int(m2.kf_obs_point[k, i])
+        assert p2 >= 0
+        np.testing.assert_allclose(np.asarray(m2.pt_pos[p2]), pos, rtol=1e-6)
+    # remap table agrees with the observation remap
+    obs_old = np.asarray(m.kf_obs_point)
+    obs_new = np.asarray(m2.kf_obs_point)
+    ni = np.asarray(new_idx)
+    sel = obs_old >= 0
+    np.testing.assert_array_equal(obs_new[sel], ni[obs_old[sel]])
+
+
+def test_grow_map_preserves_ids():
+    m, *_ = make_two_kf_map()
+    K0, N = m.kf_obs_point.shape
+    P0 = m.pt_pos.shape[0]
+    m2 = ms.grow_map(m, new_K=2 * K0, new_P=2 * P0)
+    assert m2.kf_obs_point.shape == (2 * K0, N)
+    assert m2.pt_pos.shape[0] == 2 * P0
+    np.testing.assert_array_equal(
+        np.asarray(m2.kf_obs_point[:K0]), np.asarray(m.kf_obs_point)
+    )
+    np.testing.assert_allclose(
+        np.asarray(m2.pt_pos[:P0]), np.asarray(m.pt_pos)
+    )
+    assert not np.asarray(m2.kf_valid[K0:]).any()
+    assert not np.asarray(m2.pt_valid[P0:]).any()
+    assert int(m2.n_kf) == int(m.n_kf) and int(m2.n_pt) == int(m.n_pt)
+    # inserting still works after growth
+    n_before = int(m2.n_pt)
+    m3, pids = ms.insert_points(
+        m2,
+        jnp.ones((4, 3)),
+        jnp.zeros((4, 8), jnp.uint32),
+        jnp.zeros((4,), jnp.int32),
+        jnp.ones((4,), bool),
+    )
+    assert int(m3.n_pt) == n_before + 4
+    assert (np.asarray(pids) >= 0).all()

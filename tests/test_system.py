@@ -222,7 +222,7 @@ def test_async_gba_merge_propagates(planar_seq):
         pt_pos=jax.vmap(lambda p: lie.se3_apply(G, p))(snap.pt_pos),
     )
     T_cw_before = np.asarray(slam.T_cw)
-    slam._gba_result = (snap, gba)
+    slam._gba_result = (snap, gba, slam._map_epoch)
     slam._apply_gba_if_ready()
 
     kf_valid = np.asarray(m_before.kf_valid)

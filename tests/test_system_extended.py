@@ -24,7 +24,16 @@ def make_cfg(sensor="mono", **kw):
             max_keyframes=48, max_points=8192, n_features=512, n_levels=4
         ),
         sensor=sensor,
-        **{"max_frames_between_kf": 6, **kw},
+        # close-point thresholds scaled from the reference's 100/70
+        # (which assume ~2000-feature frames) to this 512-feature scene:
+        # the fast synthetic motion sheds tracked close points quickly, so
+        # bNeedToInsertClose is what drives stereo keyframe insertion here
+        **{
+            "max_frames_between_kf": 6,
+            "kf_close_tracked_th": 250,
+            "kf_close_untracked_th": 40,
+            **kw,
+        },
     )
 
 
@@ -179,3 +188,38 @@ def test_loop_closing_on_orbit():
         - metrics.camera_centers_from_Tcw(gt).min(0)
     )
     assert ate < 0.12 * span
+
+
+def test_relocalization_without_loop_closing():
+    """The reference can always relocalize — the vocabulary and keyframe
+    database exist independently of loop closing (src/System.cc:64-88).
+    Same kidnap scenario as above but with enable_loop_closing=False."""
+    rng = np.random.RandomState(3)
+    imgs, poses_gt, K = synthetic.planar_sequence(
+        n_frames=30, h=H, w=W, fx=FX, fy=FX, seed=9, relief=True
+    )
+    cfg = make_cfg(enable_loop_closing=False)
+    cfg = sysm.SystemConfig(
+        **{**cfg.__dict__, "vocab_train_kfs": 2, "max_frames_between_kf": 2}
+    )
+    slam = sysm.System(cfg)
+    for i in range(30):
+        slam.track_monocular(imgs[i], timestamp=i / 30.0)
+    assert slam.state == sysm.System.OK
+    assert int(slam.map.n_kf) > 5
+    # database maintained even though loop closing is off
+    assert slam.loop_closer is not None
+
+    for k in range(3):
+        slam.track_monocular(
+            rng.rand(H, W).astype(np.float32) * 255.0, timestamp=1.0 + k
+        )
+    assert slam.state == sysm.System.LOST
+
+    recovered = False
+    for i in range(16, 26):
+        slam.track_monocular(imgs[i], timestamp=2.0 + i / 30.0)
+        if slam.state == sysm.System.OK:
+            recovered = True
+            break
+    assert recovered
