@@ -353,6 +353,50 @@ def compact_points(m: MapState):
     return m2, new_idx
 
 
+@jax.jit
+def compact_keyframes(m: MapState, perm, new_idx):
+    """Pack valid keyframes to the low end of the pool (the keyframe
+    analogue of :func:`compact_points`; the reference frees culled
+    KeyFrame objects outright, src/KeyFrame.cc:459-551, so its "pool"
+    never fragments). ``perm[r]`` = old slot stored at new slot r and
+    ``new_idx[old]`` = new slot of a (valid) old keyframe — both computed
+    by the caller, which must FIRST re-anchor every id it holds outside
+    the MapState (trajectory references, loop database rows, loop edges,
+    quadric views; see System._compact_keyframes)."""
+    K = m.kf_valid.shape[0]
+
+    def g(a):
+        return a[perm]
+
+    valid_new = g(m.kf_valid)
+    parent = g(m.kf_parent)
+    # live keyframes' parents are live (culling reparents children), so a
+    # plain id remap suffices; invalid rows clear to -1
+    parent = jnp.where(
+        valid_new & (parent >= 0), new_idx[jnp.clip(parent, 0, K - 1)], -1
+    )
+    first = m.pt_first_kf
+    first_new = jnp.where(
+        first >= 0, new_idx[jnp.clip(first, 0, K - 1)], -1
+    )
+    return m._replace(
+        kf_pose=g(m.kf_pose),
+        kf_valid=valid_new,
+        kf_frame_id=jnp.where(valid_new, g(m.kf_frame_id), -1),
+        kf_parent=parent,
+        kf_tcp=g(m.kf_tcp),
+        kf_uv=g(m.kf_uv),
+        kf_ur=g(m.kf_ur),
+        kf_level=g(m.kf_level),
+        kf_angle=g(m.kf_angle),
+        kf_desc=g(m.kf_desc),
+        kf_kp_valid=g(m.kf_kp_valid) & valid_new[:, None],
+        kf_obs_point=jnp.where(valid_new[:, None], g(m.kf_obs_point), -1),
+        pt_first_kf=first_new,
+        n_kf=jnp.sum(valid_new.astype(jnp.int32)),
+    )
+
+
 def grow_map(m: MapState, new_K: int | None = None, new_P: int | None = None):
     """Grow the keyframe and/or point pools by zero-padding at the high
     end (ids are preserved, so nothing needs remapping). Shape-specialized

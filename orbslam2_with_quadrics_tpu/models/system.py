@@ -469,14 +469,110 @@ class System:
                 self.map = ms.grow_map(self.map, new_P=2 * P)
         K = int(self.map.kf_valid.shape[0])
         if K - int(self.map.n_kf) < 2:
-            print(
-                f"[orbslam2-tpu] keyframe pool full ({int(self.map.n_kf)}/{K}): "
-                f"growing to {2 * K} (one-time recompile)",
-                file=sys.stderr, flush=True,
+            n_live = int(np.asarray(self.map.kf_valid).sum())
+            if int(self.map.n_kf) - n_live >= max(8, K // 4):
+                # culling freed plenty of slots: compact instead of growing
+                self._compact_keyframes()
+            else:
+                print(
+                    f"[orbslam2-tpu] keyframe pool full ({n_live}/{K} live): "
+                    f"growing to {2 * K} (one-time recompile)",
+                    file=sys.stderr, flush=True,
+                )
+                self.map = ms.grow_map(self.map, new_K=2 * K)
+                if self.loop_closer is not None:
+                    self.loop_closer.grow(2 * K)
+
+    def _compact_keyframes(self):
+        """Pack valid keyframes to the low end of the pool. Every
+        keyframe id held OUTSIDE the MapState is re-anchored first:
+        trajectory entries and point reference-keyframes walk the
+        spanning tree past culled slots (the System::SaveTrajectoryTUM
+        walk, src/System.cc:361-368) to a live ancestor, then all ids are
+        remapped; an in-flight async GBA is abandoned (its keyframe ids
+        are stale)."""
+        m = self.map
+        K = int(m.kf_valid.shape[0])
+        kf_valid = np.asarray(m.kf_valid)
+        parent = np.asarray(m.kf_parent)
+        tcp = np.asarray(m.kf_tcp)
+
+        # live ancestor + folded T_slot_ancestor for every slot
+        anc = np.arange(K)
+        fold = [None] * K  # None = identity
+        for s in range(K):
+            r, F, hops = s, None, 0
+            while 0 <= r < K and not kf_valid[r] and parent[r] >= 0 and hops < K:
+                F = tcp[r] if F is None else _np_se3_compose(F, tcp[r])
+                r = int(parent[r])
+                hops += 1
+            anc[s] = r if (0 <= r < K and kf_valid[r]) else -1
+            fold[s] = F
+
+        order = np.argsort(np.where(kf_valid, 0, 1), kind="stable")
+        new_idx = np.cumsum(kf_valid.astype(np.int32)) - 1
+        new_idx = np.where(kf_valid, new_idx, -1).astype(np.int32)
+
+        def live(slot):
+            a = anc[slot] if 0 <= slot < K else -1
+            return int(new_idx[a]) if a >= 0 else -1
+
+        # 1. trajectory entries: fold culled anchors into T_rel
+        fixed = []
+        for fid, ts, ref, T_rel in self.trajectory:
+            r = int(ref)
+            if 0 <= r < K and not kf_valid[r] and fold[r] is not None:
+                T_rel = _np_se3_compose(np.asarray(T_rel), fold[r])
+            fixed.append((fid, ts, live(r) if live(r) >= 0 else 0, np.asarray(T_rel)))
+        self.trajectory = fixed
+
+        # 2. point reference keyframes -> live ancestors (pre-resolve so
+        #    compact_keyframes' id remap is valid)
+        first = np.asarray(m.pt_first_kf)
+        ok_f = (first >= 0) & (first < K)
+        first_live = np.where(ok_f, anc[np.clip(first, 0, K - 1)], -1)
+        m = m._replace(pt_first_kf=jnp.asarray(first_live.astype(np.int32)))
+
+        # 3. compact the MapState arrays
+        self.map = ms.compact_keyframes(
+            m, jnp.asarray(order.astype(np.int32)), jnp.asarray(new_idx)
+        )
+
+        # 4. host-held ids
+        self.ref_kf = max(live(self.ref_kf), 0)
+        if self.loop_closer is not None:
+            lcs = self.loop_closer
+            perm = jnp.asarray(order.astype(np.int32))
+            lcs.words = lcs.words[perm]
+            if lcs.sparse:
+                lcs.kf_wid = lcs.kf_wid[perm]
+                lcs.kf_wval = lcs.kf_wval[perm]
+            else:
+                lcs.bow = lcs.bow[perm]
+            lcs.loop_edges = [
+                (int(new_idx[i]), int(new_idx[j]))
+                for i, j in lcs.loop_edges
+                if kf_valid[i] and kf_valid[j]
+            ]
+            lcs.consistency = []
+            lcs.last_loop_kf = (
+                int(new_idx[lcs.last_loop_kf])
+                if 0 <= lcs.last_loop_kf < K and kf_valid[lcs.last_loop_kf]
+                else -999
             )
-            self.map = ms.grow_map(self.map, new_K=2 * K)
-            if self.loop_closer is not None:
-                self.loop_closer.grow(2 * K)
+        if self.quadrics is not None:
+            for lmk in self.quadrics.landmarks:
+                kept = [
+                    (int(new_idx[s]), b)
+                    for s, b in zip(lmk.kf_slots, lmk.bboxes)
+                    if 0 <= s < K and kf_valid[s]
+                ]
+                lmk.kf_slots = [s for s, _ in kept]
+                lmk.bboxes = [b for _, b in kept]
+        # in-flight async GBA holds stale keyframe ids
+        self._gba_gen += 1
+        self._gba_result = None
+        self._n_ref_cache = None
 
     def _remap_point_ids(self, new_idx, old_valid):
         """Point-id fixup after compact_points for ids held outside the
@@ -1034,6 +1130,19 @@ class System:
             path,
             ((ts, metrics.se3_vec_to_mat(T7)) for _, ts, T7 in self.full_trajectory()),
         )
+
+
+def _np_se3_compose(a7, b7):
+    """Host-side se3_compose (mat(A) @ mat(B)) for the compaction walks —
+    avoids thousands of tiny device dispatches."""
+    from ..utils import metrics
+    from ..utils.trajectory import _R_to_quat
+
+    M = metrics.se3_vec_to_mat(np.asarray(a7)) @ metrics.se3_vec_to_mat(
+        np.asarray(b7)
+    )
+    qx, qy, qz, qw = _R_to_quat(M[:3, :3])
+    return np.concatenate([[qw, qx, qy, qz], M[:3, 3]]).astype(np.float32)
 
 
 @jax.jit

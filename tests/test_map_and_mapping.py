@@ -304,3 +304,44 @@ def test_grow_map_preserves_ids():
     )
     assert int(m3.n_pt) == n_before + 4
     assert (np.asarray(pids) >= 0).all()
+
+
+def test_compact_keyframes_remaps_graph():
+    """compact_keyframes packs valid KFs low and remaps parent links and
+    the point reference keyframes."""
+    m, *_ = make_two_kf_map()
+    N = CFG.n_features
+    # third keyframe parented on #1
+    m, s2 = ms.insert_keyframe(
+        m, lie.se3_identity(), jnp.asarray(2, jnp.int32),
+        jnp.zeros((N, 2)), jnp.full((N,), -1.0), jnp.zeros((N,), jnp.int32),
+        jnp.zeros((N,)), rand_desc(jax.random.PRNGKey(5), N),
+        jnp.ones((N,), bool), jnp.full((N,), -1, jnp.int32),
+        jnp.asarray(1, jnp.int32),
+    )
+    # cull keyframe 1 (children already reparented in the real pipeline:
+    # emulate by pointing s2 at 0) and mark points' ref as live slot 0
+    m = m._replace(
+        kf_valid=m.kf_valid.at[1].set(False),
+        kf_parent=m.kf_parent.at[int(s2)].set(0),
+        kf_obs_point=m.kf_obs_point.at[1].set(jnp.full((N,), -1, jnp.int32)),
+        pt_first_kf=jnp.where(m.pt_first_kf == 1, 0, m.pt_first_kf),
+    )
+    K = m.kf_valid.shape[0]
+    kf_valid = np.asarray(m.kf_valid)
+    order = np.argsort(np.where(kf_valid, 0, 1), kind="stable").astype(np.int32)
+    new_idx = np.cumsum(kf_valid.astype(np.int32)) - 1
+    new_idx = np.where(kf_valid, new_idx, -1).astype(np.int32)
+
+    m2 = ms.compact_keyframes(m, jnp.asarray(order), jnp.asarray(new_idx))
+    assert int(m2.n_kf) == 2
+    v2 = np.asarray(m2.kf_valid)
+    assert v2[:2].all() and not v2[2:].any()
+    # old slot 2 -> new slot 1, parent old 0 -> new 0
+    assert int(m2.kf_frame_id[1]) == 2
+    assert int(m2.kf_parent[1]) == 0
+    # observations and points unchanged (point ids are untouched)
+    np.testing.assert_array_equal(
+        np.asarray(m2.kf_obs_point[0]), np.asarray(m.kf_obs_point[0])
+    )
+    np.testing.assert_allclose(np.asarray(m2.pt_pos), np.asarray(m.pt_pos))

@@ -223,3 +223,43 @@ def test_relocalization_without_loop_closing():
             recovered = True
             break
     assert recovered
+
+
+def test_capacity_growth_and_compaction():
+    """A keyframe pool far smaller than the sequence demands must not
+    silently stop mapping (the reference has no capacity limits,
+    src/Map.cc): the pool compacts culled slots and/or doubles, and
+    tracking runs to the end with a sane trajectory."""
+    imgs, poses_gt, K = synthetic.planar_sequence(
+        n_frames=24, h=H, w=W, fx=FX, fy=FX, seed=11
+    )
+    cfg = make_cfg()
+    cfg = sysm.SystemConfig(
+        **{
+            **cfg.__dict__,
+            "map": ms.MapConfig(
+                max_keyframes=10, max_points=8192, n_features=512, n_levels=4
+            ),
+        }
+    )
+    slam = sysm.System(cfg)
+    for i in range(len(imgs)):
+        slam.track_monocular(imgs[i], timestamp=i / 30.0)
+    assert slam.state == sysm.System.OK
+    # mapping kept going: more keyframes were created than the original
+    # pool could ever hold
+    assert slam.n_kfs_created > 10
+    pool = slam.map.kf_valid.shape[0]
+    assert int(slam.map.n_kf) <= pool
+    traj = slam.full_trajectory()
+    assert len(traj) == len(imgs)
+    est = [metrics.se3_vec_to_mat(T7) for _, _, T7 in traj]
+    gt = [poses_gt[fid] for fid, _, _ in traj]
+    ate = metrics.ate_rmse(
+        metrics.camera_centers_from_Tcw(est), metrics.camera_centers_from_Tcw(gt)
+    )
+    span = np.linalg.norm(
+        metrics.camera_centers_from_Tcw(gt).max(0)
+        - metrics.camera_centers_from_Tcw(gt).min(0)
+    )
+    assert ate < 0.12 * span
