@@ -54,11 +54,37 @@ def planar_sequence(
 
     Returns (imgs [T,H,W] float32, poses_true list of 4x4 T_cw, K [4]).
     """
+    gen = planar_stream(
+        n_frames=n_frames, h=h, w=w, fx=fx, fy=fy, seed=seed, motion=motion,
+        plane_half=plane_half, tex_size=tex_size, relief=relief,
+    )
+    imgs, poses = [], []
+    for img, T in gen:
+        imgs.append(img)
+        poses.append(T)
+    return np.stack(imgs), poses, np.array([fx, fy, w / 2.0, h / 2.0])
+
+
+def planar_stream(
+    n_frames: int = 60,
+    h: int = 480,
+    w: int = 640,
+    fx: float = 500.0,
+    fy: float = 500.0,
+    seed: int = 0,
+    motion: str = "strafe",
+    plane_half: float = 3.0,
+    tex_size: int = 2048,
+    relief: bool = False,
+):
+    """Streaming version of :func:`planar_sequence`: yields one
+    (img [H,W] float32, T_cw 4x4) at a time so multi-thousand-frame
+    sequences never materialize in memory (4,096 frames at 640x480 would
+    be ~5 GB)."""
     assert cv2 is not None, "cv2 required for synthetic rendering"
     cx, cy = w / 2.0, h / 2.0
     K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
     tex = _texture(tex_size, seed)
-    # world plane [-ph, ph]^2 -> texture pixels
     s = tex_size / (2 * plane_half)
     S = np.array([[s, 0, tex_size / 2.0], [0, s, tex_size / 2.0], [0, 0, 1.0]])
     relief_tex = _texture(512, seed + 77) if relief else None
@@ -67,8 +93,6 @@ def planar_sequence(
         [[512 / (2 * relief_half), 0, 256.0], [0, 512 / (2 * relief_half), 256.0], [0, 0, 1.0]]
     )
 
-    imgs, poses = [], []
-    rng = np.random.RandomState(seed + 1)
     for t in range(n_frames):
         u = t / max(n_frames - 1, 1)
         if motion == "strafe":
@@ -103,6 +127,17 @@ def planar_sequence(
             tz = 2.5
             yaw = 0.0
             pitch = 0.0
+        elif motion == "survey":
+            # long smooth lawn-mower sweep over a big plane: the scale
+            # stress pattern (thousands of frames, hundreds of keyframes,
+            # trajectory length >> view width). C-infinity everywhere so
+            # constant-velocity prediction tracks.
+            span = 0.75 * plane_half
+            tx = span * np.sin(2 * np.pi * 3 * u)
+            ty = (2 * u - 1) * 0.8 * span
+            tz = 2.5 + 0.2 * np.sin(2 * np.pi * 5 * u)
+            yaw = 0.1 * np.sin(2 * np.pi * u)
+            pitch = 0.03 * np.sin(2 * np.pi * 2 * u)
         else:
             raise ValueError(motion)
 
@@ -132,9 +167,7 @@ def planar_sequence(
         T = np.eye(4)
         T[:3, :3] = R_cw
         T[:3, 3] = t_cw
-        imgs.append(img)
-        poses.append(T)
-    return np.stack(imgs), poses, np.array([fx, fy, cx, cy])
+        yield img, T
 
 
 def render_plane(tex, T_cw, K3, h, w, plane_half=3.0):
