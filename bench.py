@@ -1,13 +1,25 @@
 """Benchmark: tracking frames/sec on one chip vs the reference baseline.
 
 Run by the driver on real TPU hardware; prints ONE JSON line.
-Baseline: the reference runs tracking at camera rate on an i7 — 30 fps on
-TUM workloads (BASELINE.md 'real-time operation claim'); the rebuild
-target is >=5x per chip.
 
-The benchmark times the full per-frame hot path on device: ORB extraction
-(pyramid/FAST/orient/BRIEF) + guided matching + two pose optimizations,
-at the reference TUM workload size (640x480, 1000 features, 8 levels).
+Baseline justification: the reference prints median tracking time per run
+(mono_tum.cc:120-129) and stores no number; the ORB-SLAM2 paper (T-RO
+2017, cited at README.md.bk:22) reports ~22 ms mean tracking on an
+i7-4790 for TUM mono workloads => ~45 fps. That measured figure — not the
+30 fps camera-rate pacing claim — is the baseline the >=5x target is
+computed against (VERDICT r02 #4).
+
+Reported metrics (all in the one JSON line):
+- tracking_fps_per_chip: steady-state per-frame hot path (ORB extract +
+  guided matching + two pose optimizations) at TUM workload size
+  (640x480, 1000 features, 8 levels), timed as a device-side scan so the
+  number is chip throughput, not host/tunnel dispatch latency.
+- fps_amortized: includes the inline mapping pipeline (triangulate +
+  fuse + local BA + cull) every KF_EVERY frames — the reference overlaps
+  mapping on a second core; this repo runs it inline on the tracking
+  path (models/system.py _insert_keyframe), so the honest end-to-end
+  number charges it to the frame budget.
+- per-stage ms + achieved TFLOP/s + MFU estimate for the tracking step.
 """
 
 import json
@@ -20,7 +32,38 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
 import numpy as np
 
-BASELINE_FPS = 30.0  # reference: tracking at TUM camera rate on i7
+BASELINE_FPS = 45.0  # measured-i7 median tracking (~22 ms), see docstring
+KF_EVERY = 5         # amortization: 1 keyframe per 5 frames (TUM-typical)
+
+# peak bf16 TFLOP/s per chip by device_kind (public spec sheets); used
+# only for the MFU estimate, absent kinds fall back to None
+PEAK_TFLOPS = {
+    "TPU v2": 45.0, "TPU v3": 123.0, "TPU v4": 275.0,
+    "TPU v5 lite": 197.0, "TPU v5e": 197.0, "TPU v5p": 459.0,
+    "TPU v6 lite": 918.0, "TPU v6e": 918.0,
+}
+
+
+def _timed(fn, *args, reps=3):
+    out = fn(*args)
+    import jax
+
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+        jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps, out
+
+
+def _flops_of(compiled):
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0))
+    except Exception:
+        return 0.0
 
 
 def main():
@@ -28,9 +71,10 @@ def main():
     import jax.numpy as jnp
 
     from orbslam2_with_quadrics_tpu.models import frontend as fe
+    from orbslam2_with_quadrics_tpu.models import local_mapping as lm
     from orbslam2_with_quadrics_tpu.models import map_state as ms
     from orbslam2_with_quadrics_tpu.models import tracking as tr
-    from orbslam2_with_quadrics_tpu.ops import camera, lie
+    from orbslam2_with_quadrics_tpu.ops import camera, lie, orb
 
     H, W, NFEAT, NLEV = 480, 640, 1024, 8
     NPTS, NKF = 8192, 64
@@ -56,22 +100,27 @@ def main():
         jnp.uint32
     )
     obs0 = jnp.arange(NFEAT, dtype=jnp.int32)
+    uv_all, _ = camera.project(cfg.K, pts)
+    kf_uv = jnp.tile(uv_all[None, :NFEAT], (NKF, 1, 1))
     m = m._replace(
         pt_pos=pts, pt_valid=jnp.ones((NPTS,), bool), pt_desc=desc,
         pt_max_dist=jnp.full((NPTS,), 100.0),
         pt_normal=jnp.tile(jnp.asarray([0.0, 0.0, -1.0]), (NPTS, 1)),
         n_pt=jnp.asarray(NPTS, jnp.int32),
-        kf_valid=jnp.zeros((NKF,), bool).at[:8].set(True),
-        kf_kp_valid=m.kf_kp_valid.at[:8].set(True),
-        kf_obs_point=m.kf_obs_point.at[:8].set(
-            (jnp.arange(NFEAT)[None, :] + 13 * jnp.arange(8)[:, None]) % NPTS
+        kf_valid=jnp.zeros((NKF,), bool).at[:16].set(True),
+        kf_kp_valid=m.kf_kp_valid.at[:16].set(True),
+        kf_uv=kf_uv,
+        kf_desc=m.kf_desc.at[:16].set(desc[:NFEAT]),
+        kf_obs_point=m.kf_obs_point.at[:16].set(
+            (jnp.arange(NFEAT)[None, :] + 13 * jnp.arange(16)[:, None]) % NPTS
         ),
-        n_kf=jnp.asarray(8, jnp.int32),
+        n_kf=jnp.asarray(16, jnp.int32),
     )
     T = lie.se3_identity()
     prev_obs = obs0
     # keyframe-rate cached observation matrix (System._get_obs_A)
     obs_A = ms.observation_matrix(m)
+    _, _, inv_sigma2 = orb.scale_factors(NLEV, 1.2)
 
     def frame_step(m, img, T, prev_obs):
         feats = fe.extract_mono(cfg, img)
@@ -103,11 +152,63 @@ def main():
         return ns
 
     seq_j = jax.jit(seq)
-    jax.block_until_ready(seq_j(m, img, T, prev_obs))
+    lowered = seq_j.lower(m, img, T, prev_obs)
+    compiled = lowered.compile()
+    jax.block_until_ready(compiled(m, img, T, prev_obs))
     t0 = time.perf_counter()
-    jax.block_until_ready(seq_j(m, img, T, prev_obs))
+    jax.block_until_ready(compiled(m, img, T, prev_obs))
     dt = time.perf_counter() - t0
     fps = n_it / dt
+    t_frame = dt / n_it
+
+    # ---- per-stage breakdown (each stage timed alone, warm) ----
+    extract_j = jax.jit(lambda im: fe.extract_mono(cfg, im))
+    t_extract, feats = _timed(extract_j, img)
+
+    track_j = jax.jit(
+        lambda m, f, T, po: tr.track_frame(
+            m, f, T, po, cfg.K, jnp.asarray(0.0), height=H, width=W,
+            n_levels=NLEV, n_local_kf=NKF, n_local_pt=4096, obs_A=obs_A,
+        ).T_cw
+    )
+    t_track, _ = _timed(track_j, m, feats, T, prev_obs)
+
+    # ---- mapping pipeline (inline keyframe-rate work) ----
+    slot = jnp.asarray(2)
+    tri_j = jax.jit(
+        lambda m: lm.create_new_points(
+            m, slot, cfg.K, jnp.asarray(0.0), n_levels=NLEV, scale=1.2
+        )[0]
+    )
+    t_tri, m_tri = _timed(tri_j, m)
+    fuse_j = jax.jit(
+        lambda m: lm.fuse_neighbors(
+            m, slot, cfg.K, height=H, width=W, n_levels=NLEV, scale=1.2
+        )
+    )
+    t_fuse, _ = _timed(fuse_j, m_tri)
+    lba_j = jax.jit(
+        lambda m: lm.run_local_ba(
+            m, slot, cfg.K, jnp.asarray(0.0), inv_sigma2, window=16
+        )[0].kf_pose
+    )
+    t_lba, _ = _timed(lba_j, m_tri)
+    cull_j = jax.jit(lambda m: lm.cull_keyframes(m, slot).kf_valid)
+    t_cull, _ = _timed(cull_j, m_tri)
+    t_map = t_tri + t_fuse + t_lba + t_cull
+
+    fps_amortized = 1.0 / (t_frame + t_map / KF_EVERY)
+
+    # ---- MFU estimate for the tracking step ----
+    flops = _flops_of(compiled)
+    achieved_tflops = (flops / dt) / 1e12 if flops else None
+    kind = jax.devices()[0].device_kind
+    peak = next((v for k, v in PEAK_TFLOPS.items() if k in kind), None)
+    mfu = (
+        round(achieved_tflops / peak, 4)
+        if achieved_tflops is not None and peak
+        else None
+    )
 
     print(
         json.dumps(
@@ -116,6 +217,26 @@ def main():
                 "value": round(fps, 2),
                 "unit": "frames/sec",
                 "vs_baseline": round(fps / BASELINE_FPS, 3),
+                "baseline_fps": BASELINE_FPS,
+                "baseline_basis": "measured-i7 ~22ms median tracking "
+                                  "(ORB-SLAM2 T-RO'17, README.md.bk:22)",
+                "fps_amortized": round(fps_amortized, 2),
+                "amortized_vs_baseline": round(fps_amortized / BASELINE_FPS, 3),
+                "kf_every": KF_EVERY,
+                "stage_ms": {
+                    "extract": round(t_extract * 1e3, 3),
+                    "track": round(t_track * 1e3, 3),
+                    "map_triangulate": round(t_tri * 1e3, 3),
+                    "map_fuse": round(t_fuse * 1e3, 3),
+                    "map_local_ba": round(t_lba * 1e3, 3),
+                    "map_kf_cull": round(t_cull * 1e3, 3),
+                },
+                "tracking_achieved_tflops": (
+                    round(achieved_tflops, 3) if achieved_tflops else None
+                ),
+                "device_kind": kind,
+                "mfu_estimate": mfu,
+                "platform": jax.default_backend(),
             }
         )
     )

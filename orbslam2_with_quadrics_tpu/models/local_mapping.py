@@ -271,6 +271,14 @@ def fuse_neighbors(
     for i in range(n_nb):
         remap, obs_flat = per_neighbor(nb_ids[i], nb_ok[i], (remap, obs_flat))
 
+    # resolve merge chains (a->b, b->c  =>  a->c) by pointer jumping
+    # before applying, or a's observations would be remapped onto the
+    # invalidated b (same fix as loop_closing.fuse_loop_points). A tied
+    # 2-cycle (equal obs counts merging into each other) jumps back to
+    # the identity after 8 compositions, leaving both points live.
+    for _ in range(3):
+        remap = remap[remap]
+
     # apply merges: remap the whole observation table, invalidate losers
     lost = remap != jnp.arange(P, dtype=jnp.int32)
     obs = obs_flat.reshape(K, N)
@@ -314,11 +322,16 @@ def cull_keyframes(m: ms.MapState, kf_id):
     pc = jnp.clip(parent, 0, K - 1)
     tcp = lie.se3_compose(m.kf_pose[first], lie.se3_inverse(m.kf_pose[pc]))
     kf_tcp = m.kf_tcp.at[first].set(jnp.where(do & (parent >= 0), tcp, m.kf_tcp[first]))
-    # reparent children of the culled keyframe to its parent (grandparent)
-    # — the reference picks the best covisible parent-candidate
-    # (src/KeyFrame.cc:459-514); the grandparent is always in that set and
-    # keeps the spanning tree connected for GBA propagation and savers
-    child = do & (m.kf_parent == first) & (jnp.arange(K) != first)
+    # reparent LIVE children of the culled keyframe to its parent
+    # (grandparent) — the reference picks the best covisible
+    # parent-candidate (src/KeyFrame.cc:459-514); the grandparent is
+    # always in that set and keeps the spanning tree connected for GBA
+    # propagation and savers. Already-culled keyframes whose parent is
+    # `first` must KEEP that pointer: their frozen kf_tcp is relative to
+    # `first`, and the trajectory walk (System.full_trajectory) composes
+    # Tcp(child->first) . Tcp(first->grandparent) along the chain —
+    # reparenting them would skip first's Tcp and corrupt their poses.
+    child = do & (m.kf_parent == first) & (jnp.arange(K) != first) & m.kf_valid
     kf_parent = jnp.where(child, parent, m.kf_parent)
     return m._replace(
         kf_valid=kf_valid, kf_obs_point=obs.at[first].set(row),

@@ -236,6 +236,27 @@ def score_database(bow_mat, query_bow, kf_valid):
     return scores, common
 
 
+def _accumulate_covis_groups(scores, cand, W, retain: float = 0.75):
+    """Covisibility-group score accumulation shared by loop detection
+    (KeyFrameDatabase::DetectLoopCandidates, src/KeyFrameDatabase.cc:142-197)
+    and relocalization (DetectRelocalizationCandidates, :199-309): each
+    candidate's similarity score is summed over the candidates inside its
+    top-10 covisible group; groups within ``retain`` of the best
+    accumulated score contribute their best-scoring member."""
+    is_cand = np.zeros(len(scores), bool)
+    is_cand[cand] = True
+    groups = []
+    for c in cand:
+        nb = np.argsort(-W[c])[:10]
+        members = np.concatenate([[c], nb[W[c][nb] > 0]])
+        memb = members[is_cand[members]]
+        acc = float(scores[memb].sum())
+        best = int(memb[np.argmax(scores[memb])])
+        groups.append((acc, best))
+    best_acc = max(a for a, _ in groups)
+    return {b for a, b in groups if a >= retain * best_acc}
+
+
 # above this vocabulary size, per-KF sparse BoW lists replace the dense
 # [K, V] matrix (the standard ORBvoc has 1M words)
 SPARSE_WORDS_THRESHOLD = 65536
@@ -330,27 +351,19 @@ class LoopCloser:
         if len(cand) == 0:
             return []
         W = np.asarray(ms.covisibility(m))
-        is_cand = np.zeros(len(scores), bool)
-        is_cand[cand] = True
-        groups = []
-        for c in cand:
-            nb = np.argsort(-W[c])[:10]
-            members = np.concatenate([[c], nb[W[c][nb] > 0]])
-            memb = members[is_cand[members]]
-            acc = float(scores[memb].sum())
-            best = int(memb[np.argmax(scores[memb])])
-            groups.append((acc, best))
-        best_acc = max(a for a, _ in groups)
-        keep = {b for a, b in groups if a >= 0.75 * best_acc}
+        keep = _accumulate_covis_groups(scores, cand, W)
         return sorted(keep, key=lambda k: -scores[k])[:max_groups]
 
     def detect(self, m: ms.MapState, slot: int) -> list[int]:
         """DetectLoop (src/LoopClosing.cc:103-229): query the database,
         gate by min covisible score, 0.8*max common words, and temporal
         consistency over 3 consecutive keyframes."""
-        if int(m.n_kf) < 8 or slot - self.last_loop_kf < 10:
+        # live keyframes, not the insertion high-water mark: the reference
+        # gates on Map::KeyFramesInMap() (LoopClosing.cc:110-115) and
+        # culling keeps the live count far below the counter
+        n_live = int(np.asarray(m.kf_valid).sum())
+        if n_live < 8 or slot - self.last_loop_kf < 10:
             # reference ignores loops within 10 KFs of the last
-            # (LoopClosing.cc:110-115)
             return []
         W = np.asarray(ms.covisibility(m))
         # the reference's covisible set is the *connected graph* (weight
@@ -377,6 +390,19 @@ class LoopCloser:
         max_common = common[cand_mask].max()
         cand_mask &= common > 0.8 * max_common
         cands = np.where(cand_mask)[0]
+        if len(cands) == 0:
+            self.consistency = []
+            return []
+
+        # covisibility-group score accumulation with 0.75-of-best
+        # retention (DetectLoopCandidates, src/KeyFrameDatabase.cc:142-197
+        # — the same shape the reloc path uses): a lone weak candidate is
+        # rejected unless its covisible group collectively scores within
+        # 0.75x of the best group; each kept group contributes its
+        # best-scoring member
+        cands = np.asarray(
+            sorted(_accumulate_covis_groups(scores, cands, W)), dtype=np.int64
+        )
         if len(cands) == 0:
             self.consistency = []
             return []

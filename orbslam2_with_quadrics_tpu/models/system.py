@@ -14,6 +14,7 @@ Sensor modes: MONOCULAR / STEREO / RGBD (reference include/System.h:66-70).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional
 
 import jax
@@ -34,6 +35,15 @@ class SystemConfig:
     sensor: str = "mono"            # mono | stereo | rgbd
     min_frames_between_kf: int = 0
     max_frames_between_kf: int = 30
+    kf_idle_frames: int = 3         # sync-pipeline analogue of the
+                                    # bLocalMappingIdle gate in c1b
+                                    # (src/Tracking.cc:999,1029): threaded
+                                    # mapping occupies the mapping core for
+                                    # ~this many frame periods per keyframe,
+                                    # so back-to-back insertion (and the
+                                    # insert-then-cull churn it causes) is
+                                    # impossible in the reference; c1a/c1c
+                                    # still force insertion regardless
     kf_ref_ratio: float = 0.9       # (src/Tracking.cc:1027-1044 thRefRatio)
     kf_close_tracked_th: int = 100  # bNeedToInsertClose: tracked close pts
     kf_close_untracked_th: int = 70 # below/above these -> insert
@@ -49,9 +59,14 @@ class SystemConfig:
     vocab_levels: int = 4           # 10^4 words (BoW discrimination needs
                                     # head-room over the per-frame word count)
     vocab_train_kfs: int = 4        # train once this many KFs accumulated
-    vocab_path: Optional[str] = None  # pretrained vocabulary: .txt = DBoW2
+    vocab_path: Optional[str] = "auto"  # pretrained vocabulary: .txt = DBoW2
                                     # text format (the reference's ORBvoc.txt,
-                                    # System.cc:64-71), else this repo's .npz
+                                    # System.cc:64-71), else this repo's .npz;
+                                    # 'auto' = the shipped assets/vocab_*.npz
+                                    # (trained by scripts/train_vocab.py on
+                                    # this repo's own BRIEF pattern), falling
+                                    # back to lazy per-sequence training when
+                                    # no asset exists; None = always lazy
     enable_quadrics: bool = False
     async_gba: bool = False         # run post-loop global BA in a background
                                     # thread like the reference's transient
@@ -64,6 +79,20 @@ class SystemConfig:
     n_local_kf: int = 64            # local-map window (ref cap 80,
                                     # src/Tracking.cc:1285)
     n_local_pt: int = 4096          # local point budget for tracking
+
+
+def _default_vocab_asset() -> Optional[str]:
+    """The shipped pretrained vocabulary (the reference always loads a
+    pretrained ORBvoc, src/System.cc:64-71). Largest assets/vocab_*.npz
+    wins; None when the package ships without one (lazy training)."""
+    import glob
+
+    adir = os.path.join(os.path.dirname(os.path.dirname(__file__)), "assets")
+    cands = sorted(
+        glob.glob(os.path.join(adir, "vocab_*.npz")),
+        key=os.path.getsize,
+    )
+    return cands[-1] if cands else None
 
 
 class System:
@@ -101,14 +130,17 @@ class System:
         self._vocab_pool = []
         self.n_loops_closed = 0
         self._pretrained_voc = None
-        if cfg.vocab_path:
+        vocab_path = cfg.vocab_path
+        if vocab_path == "auto":
+            vocab_path = _default_vocab_asset()
+        if vocab_path:
             from ..ops import vocab as vocab_mod
             from .loop_closing import LoopCloser
 
-            if cfg.vocab_path.endswith(".txt"):
-                self._pretrained_voc = vocab_mod.load_dbow2_text(cfg.vocab_path)
+            if vocab_path.endswith(".txt"):
+                self._pretrained_voc = vocab_mod.load_dbow2_text(vocab_path)
             else:
-                self._pretrained_voc = vocab_mod.load(cfg.vocab_path)
+                self._pretrained_voc = vocab_mod.load(vocab_path)
             self.loop_closer = LoopCloser(self._pretrained_voc, cfg.map)
         # quadric object landmarks
         self.quadrics = None
@@ -125,9 +157,16 @@ class System:
         self.only_tracking = False
         # async global BA (reference's transient GBA thread,
         # LoopClosing.cc:579,645-749)
+        import threading
+
         self._gba_thread = None
         self._gba_result = None
         self._gba_gen = 0
+        # guards the (gen check -> result store) pair in the worker and
+        # the (gen bump -> result clear) pair on the main thread: without
+        # it a compaction between the worker's check and its store lets a
+        # result with stale (remapped) keyframe ids slip through
+        self._gba_lock = threading.Lock()
         # bumped by point-pool compaction (point ids are remapped);
         # an async-GBA snapshot from an older epoch can still apply its
         # keyframe poses (kf ids are never remapped) but not its point ids
@@ -139,6 +178,11 @@ class System:
         self.last_feats = None
         self._init_fe_cfg = None  # lazily-built 2x-feature init extractor
         self._n_ref_cache = None  # TrackedMapPoints cache (keyframe rate)
+        # capacity-event observability (read by scripts/eval_full.py)
+        self.n_point_compactions = 0
+        self.n_point_growths = 0
+        self.n_kf_compactions = 0
+        self.n_kf_growths = 0
 
     def _init_frontend(self):
         """2x-feature extractor config used only while NOT_INITIALIZED
@@ -278,8 +322,9 @@ class System:
         if self.quadrics is not None:
             self.quadrics.landmarks = []
         # abandon any in-flight global BA (its snapshot is now meaningless)
-        self._gba_gen += 1
-        self._gba_result = None
+        with self._gba_lock:
+            self._gba_gen += 1
+            self._gba_result = None
         self._gba_thread = None
         self._big_change_idx += 1
 
@@ -402,15 +447,17 @@ class System:
         n_ref = max(self._ref_kf_tracked(min_obs), 1)
 
         # thRefRatio (src/Tracking.cc:1021-1027): 0.75 stereo/RGB-D, 0.4
-        # while the map has <=2 keyframes, 0.9 for mono (overrides both)
+        # while the map has <2 keyframes, 0.9 for mono (overrides both)
         ratio = 0.75
-        if n_kfs <= 2:
+        if n_kfs < 2:
             ratio = 0.4
         if cfg.sensor == "mono":
             ratio = cfg.kf_ref_ratio
 
         c1a = since >= cfg.max_frames_between_kf
-        c1b = since >= cfg.min_frames_between_kf  # mapping always idle here
+        # c1b: min-gap AND mapping idle — modeled as kf_idle_frames of
+        # mapping occupancy after each insertion (see SystemConfig)
+        c1b = since >= max(cfg.min_frames_between_kf, cfg.kf_idle_frames)
         c1c = cfg.sensor != "mono" and (n_inl < 0.25 * n_ref or need_close)
         c2 = (
             n_inl < ratio * n_ref or need_close
@@ -459,6 +506,7 @@ class System:
             if P - n_valid >= max(3 * N, P // 8):
                 self.map, new_idx = ms.compact_points(m)
                 self._map_epoch += 1
+                self.n_point_compactions += 1
                 self._remap_point_ids(np.asarray(new_idx), old_valid)
             else:
                 print(
@@ -467,12 +515,14 @@ class System:
                     file=sys.stderr, flush=True,
                 )
                 self.map = ms.grow_map(self.map, new_P=2 * P)
+                self.n_point_growths += 1
         K = int(self.map.kf_valid.shape[0])
         if K - int(self.map.n_kf) < 2:
             n_live = int(np.asarray(self.map.kf_valid).sum())
             if int(self.map.n_kf) - n_live >= max(8, K // 4):
                 # culling freed plenty of slots: compact instead of growing
                 self._compact_keyframes()
+                self.n_kf_compactions += 1
             else:
                 print(
                     f"[orbslam2-tpu] keyframe pool full ({n_live}/{K} live): "
@@ -480,6 +530,7 @@ class System:
                     file=sys.stderr, flush=True,
                 )
                 self.map = ms.grow_map(self.map, new_K=2 * K)
+                self.n_kf_growths += 1
                 if self.loop_closer is not None:
                     self.loop_closer.grow(2 * K)
 
@@ -518,12 +569,32 @@ class System:
             return int(new_idx[a]) if a >= 0 else -1
 
         # 1. trajectory entries: fold culled anchors into T_rel
+        kf_pose = np.asarray(m.kf_pose)
         fixed = []
         for fid, ts, ref, T_rel in self.trajectory:
             r = int(ref)
             if 0 <= r < K and not kf_valid[r] and fold[r] is not None:
                 T_rel = _np_se3_compose(np.asarray(T_rel), fold[r])
-            fixed.append((fid, ts, live(r) if live(r) >= 0 else 0, np.asarray(T_rel)))
+            lr = live(r)
+            if lr < 0:
+                # whole ancestor chain culled (rare: slot 0 is protected).
+                # Re-anchor on slot 0 PRESERVING the absolute pose: the
+                # dead-end slot's stored pose is its last-known value, so
+                # T_rel' = T_rel . pose[dead_end] . inv(pose[0]) keeps
+                # T_rel' . pose[0] == T_rel . pose[dead_end].
+                dead_end = r
+                hops = 0
+                while (0 <= dead_end < K and not kf_valid[dead_end]
+                       and parent[dead_end] >= 0 and hops < K):
+                    dead_end = int(parent[dead_end])
+                    hops += 1
+                if 0 <= dead_end < K:
+                    T_rel = _np_se3_compose(
+                        _np_se3_compose(np.asarray(T_rel), kf_pose[dead_end]),
+                        _np_se3_inverse(kf_pose[0]),
+                    )
+                lr = 0
+            fixed.append((fid, ts, lr, np.asarray(T_rel)))
         self.trajectory = fixed
 
         # 2. point reference keyframes -> live ancestors (pre-resolve so
@@ -570,8 +641,9 @@ class System:
                 lmk.kf_slots = [s for s, _ in kept]
                 lmk.bboxes = [b for _, b in kept]
         # in-flight async GBA holds stale keyframe ids
-        self._gba_gen += 1
-        self._gba_result = None
+        with self._gba_lock:
+            self._gba_gen += 1
+            self._gba_result = None
         self._n_ref_cache = None
 
     def _remap_point_ids(self, new_idx, old_valid):
@@ -594,6 +666,10 @@ class System:
         cfg = self.cfg
         self._ensure_capacity()
         parent = jnp.asarray(self.ref_kf, jnp.int32)
+        # NOT res.obs_point: _ensure_capacity may have compacted the point
+        # pool and remapped every point id; self.prev_obs was set to
+        # res.obs_point by _track and remapped by _remap_point_ids, so it
+        # is the post-compaction view of this frame's observations.
         self.map, slot = ms.insert_keyframe(
             self.map,
             self.T_cw,
@@ -604,7 +680,7 @@ class System:
             feats.angle,
             feats.desc,
             feats.valid,
-            res.obs_point,
+            self.prev_obs,
             parent,
         )
         slot = int(slot)
@@ -703,8 +779,10 @@ class System:
 
         cfg = self.cfg
         snap = self.map
-        self._gba_gen += 1
-        gen = self._gba_gen
+        with self._gba_lock:
+            self._gba_gen += 1
+            gen = self._gba_gen
+            self._gba_result = None
 
         epoch = self._map_epoch
 
@@ -715,8 +793,9 @@ class System:
                 n_iters=10,
             )
             jax.block_until_ready(m2.kf_pose)
-            if gen == self._gba_gen:  # superseded by a newer loop? drop
-                self._gba_result = (snap, m2, epoch)
+            with self._gba_lock:
+                if gen == self._gba_gen:  # superseded by a newer loop? drop
+                    self._gba_result = (snap, m2, epoch)
 
         self._gba_thread = threading.Thread(target=run, daemon=True)
         self._gba_thread.start()
@@ -724,10 +803,11 @@ class System:
     def _apply_gba_if_ready(self, wait: bool = False):
         if self._gba_thread is not None and wait:
             self._gba_thread.join()
-        if self._gba_result is None:
-            return
-        snap, gba, epoch = self._gba_result
-        self._gba_result = None
+        with self._gba_lock:
+            if self._gba_result is None:
+                return
+            snap, gba, epoch = self._gba_result
+            self._gba_result = None
         self._gba_thread = None
         m = self.map
         K = m.kf_valid.shape[0]
@@ -829,6 +909,11 @@ class System:
             jnp.asarray(desc), k=self.cfg.vocab_k, levels=self.cfg.vocab_levels
         )
         self.loop_closer = LoopCloser(voc, self.cfg.map)
+        # the keyframe pool may have grown past cfg.map.max_keyframes
+        # before vocab training finished — size the database rows from
+        # the LIVE pool, or score_query shape-errors / add_keyframe
+        # clamps its scatter index onto the last row
+        self.loop_closer.grow(int(self.map.kf_valid.shape[0]))
         # index all existing keyframes
         for s in range(int(self.map.n_kf)):
             if bool(self.map.kf_valid[s]):
@@ -1141,6 +1226,16 @@ def _np_se3_compose(a7, b7):
     M = metrics.se3_vec_to_mat(np.asarray(a7)) @ metrics.se3_vec_to_mat(
         np.asarray(b7)
     )
+    qx, qy, qz, qw = _R_to_quat(M[:3, :3])
+    return np.concatenate([[qw, qx, qy, qz], M[:3, 3]]).astype(np.float32)
+
+
+def _np_se3_inverse(a7):
+    """Host-side se3_inverse counterpart of _np_se3_compose."""
+    from ..utils import metrics
+    from ..utils.trajectory import _R_to_quat
+
+    M = np.linalg.inv(metrics.se3_vec_to_mat(np.asarray(a7)))
     qx, qy, qz, qw = _R_to_quat(M[:3, :3])
     return np.concatenate([[qw, qx, qy, qz], M[:3, 3]]).astype(np.float32)
 

@@ -222,7 +222,9 @@ def _so3_left_jacobian_inv(w):
 # SE3 (7-vector [q, t])
 # ---------------------------------------------------------------------------
 
-SE3_IDENTITY = jnp.asarray([1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0])
+# plain tuple, NOT a module-level jnp array: that would initialize the
+# XLA backend at import time and break jax.distributed.initialize()
+SE3_IDENTITY = (1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
 
 
 def se3_quat(T):
@@ -238,7 +240,9 @@ def se3_make(q, t):
 
 
 def se3_identity(batch_shape=(), dtype=jnp.float32):
-    return jnp.broadcast_to(SE3_IDENTITY.astype(dtype), batch_shape + (7,))
+    return jnp.broadcast_to(
+        jnp.asarray(SE3_IDENTITY, dtype), batch_shape + (7,)
+    )
 
 
 def se3_apply(T, p):

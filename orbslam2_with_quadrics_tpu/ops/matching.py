@@ -29,7 +29,10 @@ TH_LOW = 50
 TH_HIGH = 100
 HISTO_LENGTH = 30
 
-_BIG = jnp.int32(1 << 20)
+# plain int, NOT jnp.int32(...): a module-level device array would
+# initialize the XLA backend at import time, breaking
+# jax.distributed.initialize() in multi-host entry points
+_BIG = 1 << 20
 
 
 def hamming_matrix(desc_a, desc_b):

@@ -127,3 +127,59 @@ def dist_score_database(bow_mat, query_bow, kf_valid, mesh: Mesh):
         in_specs=(P("ba", None), P(), P("ba")),
         out_specs=(P("ba"), P("ba")),
     )(bow_mat, query_bow, kf_valid)
+
+
+# ----------------------------------------------------------------------
+# multi-host entry (BASELINE.json config #5: "multi-host keyframe-sharded
+# Schur BA"). The reference has no distributed story at all — its only
+# concurrency is std::thread + mutexes (SURVEY.md §2.3) — so this is
+# TPU-native design: one process per host, jax.distributed handshake,
+# then a process-spanning Mesh over the global device list; the same
+# edge-sharded shard_map program runs unchanged, with psums riding ICI
+# within a slice and DCN across hosts.
+# ----------------------------------------------------------------------
+
+def initialize_multihost(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+):
+    """Join (or start) a multi-process JAX job and return the
+    process-spanning BA mesh over ALL devices in the job.
+
+    On TPU pods the three arguments are auto-detected from the
+    environment; on CPU/GPU fleets pass them explicitly (e.g.
+    coordinator 'host0:1234', one process per host). Idempotent: safe to
+    call when jax.distributed is already initialized.
+    """
+    import jax
+
+    if num_processes is not None and num_processes > 1:
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+        except RuntimeError as e:  # already initialized
+            if "already" not in str(e).lower():
+                raise
+    # jax.devices() is the GLOBAL list after initialize(); the mesh spans
+    # every process. Data placement: pass the same global arrays on all
+    # processes to shard_problem — jax.device_put with a NamedSharding
+    # places only this process's addressable shards.
+    return make_ba_mesh(devices=jax.devices())
+
+
+def process_local_report(mesh: Mesh) -> dict:
+    """Small observability dict for multi-host runs (who am I, what do I
+    hold) — printed by scripts/dist_ba_multihost.py on every process."""
+    import jax
+
+    return {
+        "process_index": jax.process_index(),
+        "process_count": jax.process_count(),
+        "global_devices": len(jax.devices()),
+        "local_devices": len(jax.local_devices()),
+        "mesh_shape": dict(zip(mesh.axis_names, mesh.devices.shape)),
+    }

@@ -110,6 +110,22 @@ def planar_stream(
             tz = 2.5
             yaw = 0.10 * np.sin(ang)
             pitch = 0.0
+        elif motion == "orbit_big":
+            # LARGE circle (radius plane_half/2, C-infinity) that leaves
+            # the start's view entirely and closes at the end, with a 12%
+            # dwell at home so the loop detector sees several consistent
+            # keyframes of the revisited place. The topological loop for
+            # organic loop-closure tests: mid-orbit views share nothing
+            # with home, so with a bounded local-map window the return is
+            # reconnectable only by place recognition.
+            R = 0.5 * plane_half
+            ang = 2 * np.pi * min(u / 0.88, 1.0)
+            dwell = max(u - 0.88, 0.0) / 0.12
+            tx = R * np.sin(ang) + 0.06 * dwell
+            ty = R * (1 - np.cos(ang))
+            tz = 2.5
+            yaw = 0.0
+            pitch = 0.0
         elif motion == "out_and_back":
             # long excursion that leaves the start area entirely, then
             # returns: early map points leave view mid-sequence, so the
@@ -124,6 +140,25 @@ def planar_stream(
             tx = reach * np.sin(np.pi * v) ** 2
             tx += 0.05 * max(u - 0.85, 0.0) / 0.15
             ty = 0.1 * np.sin(4 * np.pi * u)
+            tz = 2.5
+            yaw = 0.0
+            pitch = 0.0
+        elif motion == "double_loop":
+            # figure-eight: two excursions in OPPOSITE directions with a
+            # return to home between them — two independent loop closures
+            # (the persistent-loop-edge scenario: the second essential
+            # graph must keep the first loop's correction). sin^2 ramps
+            # are C1 at the junction (u=0.5), so constant-velocity
+            # prediction tracks through it.
+            reach = plane_half
+            if u < 0.5:
+                v = u / 0.5
+                tx = reach * np.sin(np.pi * v) ** 2
+                ty = 0.08 * np.sin(4 * np.pi * v)
+            else:
+                v = (u - 0.5) / 0.5
+                tx = -reach * np.sin(np.pi * v) ** 2
+                ty = 0.08 * np.sin(4 * np.pi * v)
             tz = 2.5
             yaw = 0.0
             pitch = 0.0

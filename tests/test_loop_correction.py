@@ -183,3 +183,32 @@ def test_attempt_close_removes_drift():
     ) - 5
     # and the closure is recorded as a persistent loop edge
     assert closer.loop_edges == [(n_kf - 1, 0)]
+
+
+def test_covis_group_accumulation_rejects_isolated_weak_candidate():
+    """DetectLoopCandidates' group scoring (src/KeyFrameDatabase.cc:142-197):
+    a lone candidate is rejected when a covisibility-supported group's
+    accumulated score dwarfs it; the kept group returns its best member."""
+    from orbslam2_with_quadrics_tpu.models.loop_closing import (
+        _accumulate_covis_groups,
+    )
+
+    K = 16
+    scores = np.zeros(K)
+    # isolated weak candidate 3; supported group {10, 11, 12}
+    scores[3] = 0.4
+    scores[10], scores[11], scores[12] = 0.35, 0.30, 0.25
+    W = np.zeros((K, K))
+    for a in (10, 11, 12):
+        for b in (10, 11, 12):
+            if a != b:
+                W[a, b] = 30
+    cand = np.asarray([3, 10, 11, 12])
+    keep = _accumulate_covis_groups(scores, cand, W)
+    # group acc = 0.90; candidate 3 acc = 0.4 < 0.75*0.90
+    assert keep == {10}
+
+    # an isolated candidate that IS strong enough survives
+    scores[3] = 0.8
+    keep = _accumulate_covis_groups(scores, cand, W)
+    assert 3 in keep and 10 in keep

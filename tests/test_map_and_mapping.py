@@ -345,3 +345,106 @@ def test_compact_keyframes_remaps_graph():
         np.asarray(m2.kf_obs_point[0]), np.asarray(m.kf_obs_point[0])
     )
     np.testing.assert_allclose(np.asarray(m2.pt_pos), np.asarray(m.pt_pos))
+
+
+def test_fuse_neighbors_resolves_chained_merges():
+    """a->b while b->c in one fuse call must leave a's observation on c
+    (pointer-jumped remap, reference MapPoint::Replace chains through
+    ORBmatcher::Fuse, src/ORBmatcher.cc:825-975)."""
+    cfg = ms.MapConfig(max_keyframes=8, max_points=256, n_features=64, n_levels=4)
+    m = ms.empty_map(cfg)
+    N = cfg.n_features
+    key = jax.random.PRNGKey(7)
+    desc = rand_desc(key, N)  # row 0 = the shared landmark descriptor
+
+    p_main = jnp.asarray([[0.0, 0.0, 5.0]])
+    n_fa, n_fb = 20, 5  # covis fillers KF0<->KF1 (weight 20) and KF0<->KF2 (5)
+    fillerA = jnp.stack(
+        [jnp.linspace(-1.0, 1.0, n_fa), jnp.full((n_fa,), 0.5),
+         jnp.full((n_fa,), 6.0)], axis=1
+    )
+    fillerB = jnp.stack(
+        [jnp.linspace(-1.0, 1.0, n_fb), jnp.full((n_fb,), -0.5),
+         jnp.full((n_fb,), 6.0)], axis=1
+    )
+    T = lie.se3_identity()
+
+    def kf_rows(pts3, rows, base_desc):
+        uv, _ = camera.project(K, pts3)
+        uv_full = jnp.full((N, 2), -100.0).at[jnp.asarray(rows)].set(uv)
+        valid = jnp.zeros((N,), bool).at[jnp.asarray(rows)].set(True)
+        return uv_full, valid
+
+    # five keyframes, all at identity
+    for fid in range(5):
+        m, _ = ms.insert_keyframe(
+            m, T, jnp.asarray(fid, jnp.int32), jnp.full((N, 2), -100.0),
+            jnp.full((N,), -1.0), jnp.zeros((N,), jnp.int32), jnp.zeros((N,)),
+            desc, jnp.zeros((N,), bool), jnp.full((N,), -1, jnp.int32),
+            jnp.asarray(-1, jnp.int32),
+        )
+
+    # points: s (the new KF's), x (KF1's), y (KF2's) — same 3D spot and
+    # descriptor; fillers give the covisibility weights their order
+    m, s_id = ms.insert_points(m, p_main, desc[:1], jnp.zeros((1,), jnp.int32),
+                               jnp.ones((1,), bool))
+    m, x_id = ms.insert_points(m, p_main, desc[:1], jnp.ones((1,), jnp.int32),
+                               jnp.ones((1,), bool))
+    m, y_id = ms.insert_points(m, p_main, desc[:1],
+                               jnp.full((1,), 2, jnp.int32), jnp.ones((1,), bool))
+    m, fa = ms.insert_points(m, fillerA, desc[1:1 + n_fa],
+                             jnp.zeros((n_fa,), jnp.int32), jnp.ones((n_fa,), bool))
+    m, fb = ms.insert_points(m, fillerB, desc[1 + n_fa:1 + n_fa + n_fb],
+                             jnp.zeros((n_fb,), jnp.int32), jnp.ones((n_fb,), bool))
+    s, x, y = int(s_id[0]), int(x_id[0]), int(y_id[0])
+
+    uv_main, _ = camera.project(K, p_main)
+    uv_a, _ = camera.project(K, fillerA)
+    uv_b, _ = camera.project(K, fillerB)
+
+    Kpool = m.kf_obs_point.shape[0]
+    kf_uv = np.full((Kpool, N, 2), -100.0, np.float32)
+    kp_ok = np.zeros((Kpool, N), bool)
+    obs = np.full((Kpool, N), -1, np.int32)
+    # KF0 (the "new" keyframe): s + all fillers
+    kf_uv[0, 0] = np.asarray(uv_main)[0]; obs[0, 0] = s
+    kf_uv[0, 1:1 + n_fa] = np.asarray(uv_a); obs[0, 1:1 + n_fa] = np.asarray(fa)
+    kf_uv[0, 1 + n_fa:1 + n_fa + n_fb] = np.asarray(uv_b)
+    obs[0, 1 + n_fa:1 + n_fa + n_fb] = np.asarray(fb)
+    kp_ok[0, :1 + n_fa + n_fb] = True
+    # KF1: x at the landmark + fillerA (weight 20 with KF0)
+    kf_uv[1, 0] = np.asarray(uv_main)[0]; obs[1, 0] = x
+    kf_uv[1, 1:1 + n_fa] = np.asarray(uv_a); obs[1, 1:1 + n_fa] = np.asarray(fa)
+    kp_ok[1, :1 + n_fa] = True
+    # KF2: y at the landmark + fillerB (weight 5 with KF0)
+    kf_uv[2, 0] = np.asarray(uv_main)[0]; obs[2, 0] = y
+    kf_uv[2, 1:1 + n_fb] = np.asarray(uv_b); obs[2, 1:1 + n_fb] = np.asarray(fb)
+    kp_ok[2, 0] = True
+    kp_ok[2, 1:1 + n_fb] = True
+    # KF2 filler rows reuse fillerB's descriptors
+    kf_desc = np.asarray(m.kf_desc).copy()
+    kf_desc[2, 1:1 + n_fb] = np.asarray(desc[1 + n_fa:1 + n_fa + n_fb])
+    # KF3 observes s and y (obs counts: x=1, s=2, y=3), far from the spot
+    obs[3, 0] = s; obs[3, 1] = y
+    kp_ok[3, :2] = True
+    # KF4 observes y
+    obs[4, 0] = y
+    kp_ok[4, 0] = True
+
+    m = m._replace(
+        kf_uv=jnp.asarray(kf_uv), kf_kp_valid=jnp.asarray(kp_ok),
+        kf_obs_point=jnp.asarray(obs), kf_desc=jnp.asarray(kf_desc),
+    )
+    cnt = np.asarray(ms.point_obs_count(m))
+    assert cnt[x] == 1 and cnt[s] == 2 and cnt[y] == 3
+
+    m2 = lm.fuse_neighbors(m, jnp.asarray(0), K, height=240, width=320,
+                           n_levels=4)
+    pv = np.asarray(m2.pt_valid)
+    ob = np.asarray(m2.kf_obs_point)
+    # x merged into s (s more observed), s merged into y: both gone
+    assert not pv[x] and not pv[s] and pv[y]
+    # x's observation (KF1 row 0) must point at y, NOT at the dead s
+    assert ob[1, 0] == y
+    # the new keyframe's own row follows the chain too
+    assert ob[0, 0] == y
