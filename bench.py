@@ -56,16 +56,6 @@ def _timed(fn, *args, reps=3):
     return (time.perf_counter() - t0) / reps, out
 
 
-def _flops_of(compiled):
-    try:
-        ca = compiled.cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        return float(ca.get("flops", 0.0))
-    except Exception:
-        return 0.0
-
-
 def main():
     import jax
     import jax.numpy as jnp
@@ -151,20 +141,33 @@ def main():
         (_, _), ns = jax.lax.scan(body, (T, prev_obs), None, length=n_it)
         return ns
 
+    def _prog(msg):
+        print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+    _prog("compiling tracking scan...")
     seq_j = jax.jit(seq)
-    lowered = seq_j.lower(m, img, T, prev_obs)
-    compiled = lowered.compile()
-    jax.block_until_ready(compiled(m, img, T, prev_obs))
+    # flops from the client-side HLO analysis (no backend compile needed);
+    # explicit lowered.compile() hangs on tunnel/plugin backends
+    try:
+        scan_flops = float(
+            seq_j.lower(m, img, T, prev_obs).cost_analysis().get("flops", 0.0)
+        )
+    except Exception:
+        scan_flops = 0.0
+    jax.block_until_ready(seq_j(m, img, T, prev_obs))
+    _prog("timing tracking scan...")
     t0 = time.perf_counter()
-    jax.block_until_ready(compiled(m, img, T, prev_obs))
+    jax.block_until_ready(seq_j(m, img, T, prev_obs))
     dt = time.perf_counter() - t0
     fps = n_it / dt
     t_frame = dt / n_it
 
     # ---- per-stage breakdown (each stage timed alone, warm) ----
+    _prog("stage: extract")
     extract_j = jax.jit(lambda im: fe.extract_mono(cfg, im))
     t_extract, feats = _timed(extract_j, img)
 
+    _prog("stage: track")
     track_j = jax.jit(
         lambda m, f, T, po: tr.track_frame(
             m, f, T, po, cfg.K, jnp.asarray(0.0), height=H, width=W,
@@ -174,6 +177,7 @@ def main():
     t_track, _ = _timed(track_j, m, feats, T, prev_obs)
 
     # ---- mapping pipeline (inline keyframe-rate work) ----
+    _prog("stage: triangulate")
     slot = jnp.asarray(2)
     tri_j = jax.jit(
         lambda m: lm.create_new_points(
@@ -181,27 +185,30 @@ def main():
         )[0]
     )
     t_tri, m_tri = _timed(tri_j, m)
+    _prog("stage: fuse")
     fuse_j = jax.jit(
         lambda m: lm.fuse_neighbors(
             m, slot, cfg.K, height=H, width=W, n_levels=NLEV, scale=1.2
         )
     )
     t_fuse, _ = _timed(fuse_j, m_tri)
+    _prog("stage: local BA")
     lba_j = jax.jit(
         lambda m: lm.run_local_ba(
             m, slot, cfg.K, jnp.asarray(0.0), inv_sigma2, window=16
         )[0].kf_pose
     )
     t_lba, _ = _timed(lba_j, m_tri)
+    _prog("stage: kf cull")
     cull_j = jax.jit(lambda m: lm.cull_keyframes(m, slot).kf_valid)
     t_cull, _ = _timed(cull_j, m_tri)
     t_map = t_tri + t_fuse + t_lba + t_cull
 
     fps_amortized = 1.0 / (t_frame + t_map / KF_EVERY)
 
+    _prog("cost analysis")
     # ---- MFU estimate for the tracking step ----
-    flops = _flops_of(compiled)
-    achieved_tflops = (flops / dt) / 1e12 if flops else None
+    achieved_tflops = (scan_flops / dt) / 1e12 if scan_flops else None
     kind = jax.devices()[0].device_kind
     peak = next((v for k, v in PEAK_TFLOPS.items() if k in kind), None)
     mfu = (

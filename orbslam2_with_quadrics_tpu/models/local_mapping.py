@@ -291,9 +291,14 @@ def fuse_neighbors(
 
 
 @jax.jit
-def cull_keyframes(m: ms.MapState, kf_id):
+def cull_keyframes(m: ms.MapState, kf_id, protect=None):
     """KeyFrameCulling (src/LocalMapping.cc:632-696): a covisible keyframe
-    is redundant if >=90% of its points are observed by >=3 other KFs."""
+    is redundant if >=90% of its points are observed by >=3 other KFs.
+
+    ``protect`` [K] bool: keyframes that must never be culled — the
+    reference pins loop-closure keyframes forever (KeyFrame::AddLoopEdge
+    sets mbNotErase=true, src/KeyFrame.cc:424-435); culling one would
+    drop its persistent loop edge from every later essential graph."""
     K, N = m.kf_obs_point.shape
     P = m.pt_pos.shape[0]
     obs_cnt = ms.point_obs_count(m)
@@ -301,6 +306,8 @@ def cull_keyframes(m: ms.MapState, kf_id):
     cand = (W[kf_id] > 0) & m.kf_valid
     # never cull slot 0 (gauge origin) or the newest two keyframes
     cand = cand & (jnp.arange(K) != 0) & (jnp.arange(K) < m.n_kf - 2)
+    if protect is not None:
+        cand = cand & ~protect
 
     obs = m.kf_obs_point
     has = (obs >= 0) & m.kf_kp_valid

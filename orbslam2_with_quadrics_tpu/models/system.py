@@ -715,7 +715,17 @@ class System:
             jnp.asarray(cfg.frontend.bf), self._inv_sigma2,
             window=cfg.local_ba_window,
         )
-        self.map = lm.cull_keyframes(self.map, jnp.asarray(slot))
+        # loop-closure keyframes are never culled (AddLoopEdge pins them
+        # with mbNotErase, src/KeyFrame.cc:424-435): culling one would
+        # silently drop its loop edge from every later essential graph
+        protect = None
+        if self.loop_closer is not None and self.loop_closer.loop_edges:
+            pm = np.zeros((int(self.map.kf_valid.shape[0]),), bool)
+            for i, j in self.loop_closer.loop_edges:
+                pm[i] = True
+                pm[j] = True
+            protect = jnp.asarray(pm)
+        self.map = lm.cull_keyframes(self.map, jnp.asarray(slot), protect)
 
         # --- place recognition database (always maintained: the reference
         # always loads the vocabulary and populates the KeyFrameDatabase —

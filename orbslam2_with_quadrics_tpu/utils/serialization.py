@@ -55,15 +55,28 @@ def save_system(path: str, slam) -> None:
         ],
     }
     if slam.loop_closer is not None:
-        state["bow"] = np.asarray(slam.loop_closer.bow)
-        state["words"] = np.asarray(slam.loop_closer.words)
-        state["loop_edges"] = list(slam.loop_closer.loop_edges)
-        state["vocab"] = {
-            "k": slam.loop_closer.voc.k,
-            "levels": slam.loop_closer.voc.levels,
-            "idf": np.asarray(slam.loop_closer.voc.idf),
-            "centers": [np.asarray(c) for c in slam.loop_closer.voc.centers],
-        }
+        from ..ops.vocab import Vocabulary
+
+        lcs = slam.loop_closer
+        state["words"] = np.asarray(lcs.words)
+        state["loop_edges"] = list(lcs.loop_edges)
+        state["last_loop_kf"] = lcs.last_loop_kf
+        if lcs.sparse:
+            # large (>=64k-word) vocabularies keep sparse per-KF BoW lists
+            state["kf_wid"] = np.asarray(lcs.kf_wid)
+            state["kf_wval"] = np.asarray(lcs.kf_wval)
+        else:
+            state["bow"] = np.asarray(lcs.bow)
+        # embed the vocabulary only when it was trained on-the-fly for
+        # this run; a pretrained asset/ORBvoc is reloaded from its path
+        # by the receiving System's config
+        if isinstance(lcs.voc, Vocabulary):
+            state["vocab"] = {
+                "k": lcs.voc.k,
+                "levels": lcs.voc.levels,
+                "idf": np.asarray(lcs.voc.idf),
+                "centers": [np.asarray(c) for c in lcs.voc.centers],
+            }
     with open(path, "wb") as f:
         pickle.dump(state, f)
 
@@ -101,19 +114,32 @@ def load_system(path: str, slam) -> None:
             )
             for q in state["quadrics"]
         ]
-    if "vocab" in state:
+    if "words" in state:
         from ..models.loop_closing import LoopCloser
         from ..ops.vocab import Vocabulary
 
-        voc = Vocabulary(
-            centers=tuple(jnp.asarray(c) for c in state["vocab"]["centers"]),
-            idf=jnp.asarray(state["vocab"]["idf"]),
-            k=state["vocab"]["k"],
-            levels=state["vocab"]["levels"],
-        )
-        slam.loop_closer = LoopCloser(voc, slam.cfg.map)
-        slam.loop_closer.bow = jnp.asarray(state["bow"])
-        slam.loop_closer.words = jnp.asarray(state["words"])
-        slam.loop_closer.loop_edges = [
-            tuple(e) for e in state.get("loop_edges", [])
-        ]
+        if "vocab" in state:
+            voc = Vocabulary(
+                centers=tuple(
+                    jnp.asarray(c) for c in state["vocab"]["centers"]
+                ),
+                idf=jnp.asarray(state["vocab"]["idf"]),
+                k=state["vocab"]["k"],
+                levels=state["vocab"]["levels"],
+            )
+        elif slam.loop_closer is not None:
+            voc = slam.loop_closer.voc  # pretrained, loaded via config
+        else:
+            voc = None
+        if voc is not None:
+            lcs = LoopCloser(voc, slam.cfg.map)
+            lcs.grow(int(np.asarray(state["words"]).shape[0]))
+            lcs.words = jnp.asarray(state["words"])
+            if lcs.sparse and "kf_wid" in state:
+                lcs.kf_wid = jnp.asarray(state["kf_wid"])
+                lcs.kf_wval = jnp.asarray(state["kf_wval"])
+            elif not lcs.sparse and "bow" in state:
+                lcs.bow = jnp.asarray(state["bow"])
+            lcs.loop_edges = [tuple(e) for e in state.get("loop_edges", [])]
+            lcs.last_loop_kf = state.get("last_loop_kf", -999)
+            slam.loop_closer = lcs

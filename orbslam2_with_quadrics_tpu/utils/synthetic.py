@@ -76,12 +76,14 @@ def planar_stream(
     plane_half: float = 3.0,
     tex_size: int = 2048,
     relief: bool = False,
+    noise: float = 0.0,
 ):
     """Streaming version of :func:`planar_sequence`: yields one
     (img [H,W] float32, T_cw 4x4) at a time so multi-thousand-frame
     sequences never materialize in memory (4,096 frames at 640x480 would
     be ~5 GB)."""
     assert cv2 is not None, "cv2 required for synthetic rendering"
+    noise_rng = np.random.RandomState(seed + 4242) if noise > 0 else None
     cx, cy = w / 2.0, h / 2.0
     K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
     tex = _texture(tex_size, seed)
@@ -143,6 +145,34 @@ def planar_stream(
             tz = 2.5
             yaw = 0.0
             pitch = 0.0
+        elif motion == "figure8":
+            # two circular lobes through DISTINCT territory (upper then
+            # lower), each returning to home: two genuine topological
+            # loops. Cycloidal easing (a = 2*pi*v - sin(2*pi*v)) gives
+            # zero velocity at every junction, so the constant-velocity
+            # motion model survives the lobe/dwell transitions.
+            R8 = plane_half / 3.0
+
+            def _circ(v):
+                return 2 * np.pi * v - np.sin(2 * np.pi * v)
+
+            if u < 0.42:
+                a = _circ(u / 0.42)
+                tx = R8 * np.sin(a)
+                ty = R8 * (1 - np.cos(a))
+            elif u < 0.5:
+                tx = 0.04 * (u - 0.42) / 0.08
+                ty = 0.0
+            elif u < 0.92:
+                a = _circ((u - 0.5) / 0.42)
+                tx = 0.04 + R8 * np.sin(a)
+                ty = -R8 * (1 - np.cos(a))
+            else:
+                tx = 0.04 + 0.04 * (u - 0.92) / 0.08
+                ty = 0.0
+            tz = 2.5
+            yaw = 0.0
+            pitch = 0.0
         elif motion == "double_loop":
             # figure-eight: two excursions in OPPOSITE directions with a
             # return to home between them — two independent loop closures
@@ -199,6 +229,14 @@ def planar_stream(
                 borderMode=cv2.BORDER_CONSTANT, borderValue=-1.0,
             )
             img = np.where(top >= 0, top, img).astype(np.float32)
+        if noise_rng is not None:
+            # sensor noise: the noise-free render tracks with so little
+            # drift that revisits re-attach by projection alone and loop
+            # closure never has anything to do; real cameras drift
+            img = np.clip(
+                img + noise_rng.randn(h, w).astype(np.float32) * noise,
+                0.0, 255.0,
+            )
         T = np.eye(4)
         T[:3, :3] = R_cw
         T[:3, 3] = t_cw

@@ -42,6 +42,8 @@ def main():
     ap.add_argument("--motion", default="out_and_back")
     ap.add_argument("--plane-half", type=float, default=8.0)
     ap.add_argument("--seed", type=int, default=3)
+    ap.add_argument("--noise", type=float, default=6.0,
+                    help="sensor noise sigma (gray levels); 0 = clean render")
     ap.add_argument("--max-keyframes", type=int, default=128,
                     help="initial pool; growth/compaction must handle the rest")
     ap.add_argument("--max-points", type=int, default=32768)
@@ -84,6 +86,7 @@ def main():
     stream = synthetic.planar_stream(
         n_frames=args.frames, h=H, w=W, fx=FX, fy=FX, seed=args.seed,
         motion=args.motion, plane_half=args.plane_half, relief=True,
+        noise=args.noise,
     )
     if args.sensor == "stereo":
         tex = synthetic._texture(2048, args.seed)
@@ -153,7 +156,7 @@ def main():
             "sensor": args.sensor, "frames": args.frames,
             "resolution": [H, W], "features": args.features,
             "levels": args.levels, "motion": args.motion,
-            "plane_half": args.plane_half,
+            "plane_half": args.plane_half, "noise": args.noise,
             "initial_pool": [args.max_keyframes, args.max_points],
         },
         "ate_rmse": float(ate),

@@ -237,6 +237,9 @@ def test_capacity_growth_and_compaction():
     cfg = sysm.SystemConfig(
         **{
             **cfg.__dict__,
+            # insert at every opportunity: this test exists to overflow
+            # the 10-slot pool, not to model mapping occupancy
+            "kf_idle_frames": 1,
             "map": ms.MapConfig(
                 max_keyframes=10, max_points=8192, n_features=512, n_levels=4
             ),
