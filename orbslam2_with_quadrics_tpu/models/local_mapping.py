@@ -503,10 +503,20 @@ def run_local_ba(m: ms.MapState, kf_id, Kc, bf, inv_sigma2_tab, window: int = 16
         fixed_cam=fixed_cam.astype(jnp.float32),
         fixed_pnt=fixed_pnt.astype(jnp.float32),
     )
-    prob, _ = ba.ba_solve(prob, n_iters=5, cg_iters=30, use_huber=True)
+    # dense-Schur direct solve: the reduced camera system here is tiny
+    # (C = window+1+boundary <= ~50 cameras), so building S densely and
+    # Cholesky-solving beats ~30 sequential CG sweeps per LM iteration
+    # on a latency-bound single chip (ops/ba.py ba_solve_dense; the PCG
+    # path remains the mesh-sharded solver in parallel/dist_ba.py)
+    n_loc = min(P, 8192)
+    prob, _ = ba.ba_solve_dense(
+        prob, n_iters=5, n_local_pts=n_loc, use_huber=True
+    )
     _, inl = ba.edge_chi2(prob)
     prob = prob._replace(valid=prob.valid * inl.astype(jnp.float32))
-    prob, cost = ba.ba_solve(prob, n_iters=n_iters, cg_iters=30, use_huber=False)
+    prob, cost = ba.ba_solve_dense(
+        prob, n_iters=n_iters, n_local_pts=n_loc, use_huber=False
+    )
 
     # scatter back: window poses (free, deduped cams only — masked rows
     # are dropped so duplicate slots cannot race), all points

@@ -259,3 +259,100 @@ def local_ba(prob: BAProblem, cg_iters: int = 40):
     prob = prob._replace(valid=prob.valid * inl.astype(prob.valid.dtype))
     prob, cost = ba_solve(prob, n_iters=10, cg_iters=cg_iters, use_huber=False)
     return prob, cost
+
+
+# ----------------------------------------------------------------------
+# Dense-Schur direct solver (latency path for local BA)
+#
+# The PCG path above runs ~30 sequential CG steps per LM iteration, each
+# a full edge sweep — great for mesh-sharded problems (dist_ba), but on
+# one chip the reduced camera system of a LOCAL window is tiny
+# (C <= ~50 cameras => <= 300 dims): build S = Hcc - W Hpp^-1 W^T
+# DENSELY with one MXU einsum over a compacted point table and solve it
+# exactly with Cholesky. One LM iteration costs ~2 edge sweeps instead
+# of ~60 (g2o solves the same reduced system with sparse Cholesky,
+# Thirdparty/g2o/g2o/core/block_solver.hpp; this is the TPU-shaped
+# equivalent).
+# ----------------------------------------------------------------------
+
+
+def _dense_schur_step(prob: BAProblem, lam, huber_delta2, n_local_pts: int):
+    """One LM step solving the reduced camera system exactly."""
+    C = prob.poses.shape[0]
+    P = prob.points.shape[0]
+    L = n_local_pts
+    Hcc_d, bc, Hpp_inv, bp, Wcp, cost = _build_system(prob, huber_delta2, lam)
+
+    # compact the point ids that actually couple cameras (valid edge,
+    # free point) into L local slots; overflow points fall back to
+    # "no coupling this iteration" — the LM accept/reject guard keeps
+    # that safe (the step is only taken if the true cost decreases)
+    eligible = (prob.valid > 0) & (prob.fixed_pnt[prob.pnt_idx] < 0.5)
+    tagged = jnp.where(eligible, prob.pnt_idx, P)
+    loc_ids = jnp.unique(tagged, size=L, fill_value=P)          # [L] sorted
+    loc_of = jnp.full((P + 1,), L, jnp.int32)
+    loc_of = loc_of.at[loc_ids].set(jnp.arange(L, dtype=jnp.int32))
+    loc_of = loc_of.at[P].set(L)  # sentinel / fillers never map back
+
+    ploc = loc_of[jnp.where(eligible, prob.pnt_idx, P)]          # [O]
+    seg = jnp.where(ploc < L, ploc * C + prob.cam_idx, L * C)
+    V = jax.ops.segment_sum(Wcp, seg, num_segments=L * C + 1)[:-1]
+    V = V.reshape(L, C, 6, 3)                                    # [L,C,6,3]
+    Hpi = Hpp_inv[jnp.clip(loc_ids, 0, P - 1)]                   # [L,3,3]
+    # filler slots (loc_ids == P) have V == 0, so their Hpi value is inert
+
+    # S_cross[c,d] = sum_p V[p,c] Hpi[p] V[p,d]^T  — one big matmul
+    VH = jnp.einsum("pcij,pjk->pcik", V, Hpi)                    # [L,C,6,3]
+    # contract over points: [C,6,3] x [C,6,3] -> [C,6,C,6] summing the 3-axis
+    S_cross = jnp.einsum("pcik,pdjk->cidj", VH, V)
+    S = -S_cross
+    S = S.at[jnp.arange(C), :, jnp.arange(C), :].add(Hcc_d)
+    S_flat = S.reshape(C * 6, C * 6)
+
+    g = bc - _schur_rhs(prob, Hpp_inv, bp, Wcp)
+    dc = jax.scipy.linalg.cho_solve(
+        jax.scipy.linalg.cho_factor(
+            S_flat + 1e-10 * jnp.eye(C * 6, dtype=S_flat.dtype)
+        ),
+        g.reshape(-1),
+    ).reshape(C, 6)
+    dc = dc * (1.0 - prob.fixed_cam)[:, None]
+
+    # back-substitute points: dp = Hpp^-1 (bp - W^T dc)
+    t1 = jnp.einsum("oij,oi->oj", Wcp, dc[prob.cam_idx])
+    dp = jnp.einsum(
+        "pij,pj->pi", Hpp_inv, bp - _seg(t1, prob.pnt_idx, P)
+    )
+    dp = dp * (1.0 - prob.fixed_pnt)[:, None]
+
+    new_poses = jax.vmap(lie.se3_retract)(prob.poses, dc)
+    cand = prob._replace(poses=new_poses, points=prob.points + dp)
+    _, _, _, _, _, new_cost, _, _ = _edge_terms(cand, huber_delta2)
+    finite = jnp.all(jnp.isfinite(dc)) & jnp.all(jnp.isfinite(dp))
+    ok = (new_cost < cost) & finite
+    out = jax.tree.map(lambda a, b: jnp.where(ok, a, b), cand, prob)
+    return out, jnp.where(ok, new_cost, cost), ok
+
+
+@partial(jax.jit, static_argnames=("n_iters", "n_local_pts", "use_huber"))
+def ba_solve_dense(
+    prob: BAProblem,
+    n_iters: int = 10,
+    n_local_pts: int = 8192,
+    use_huber: bool = True,
+):
+    """ba_solve with the dense-Schur direct step (single chip, local-BA
+    problem sizes). Same LM damping/accept schedule as ba_solve."""
+    huber_delta2 = jnp.asarray(residuals.CHI2_STEREO if use_huber else 0.0)
+
+    def body(_, carry):
+        prob, lam, cost = carry
+        prob, cost, ok = _dense_schur_step(prob, lam, huber_delta2, n_local_pts)
+        lam = jnp.clip(jnp.where(ok, lam * 0.5, lam * 4.0), 1e-8, 1e8)
+        return prob, lam, cost
+
+    _, _, _, _, _, cost0, _, _ = _edge_terms(prob, huber_delta2)
+    prob, _, cost = jax.lax.fori_loop(
+        0, n_iters, body, (prob, jnp.asarray(1e-4, prob.poses.dtype), cost0)
+    )
+    return prob, cost

@@ -44,6 +44,10 @@ def main():
     ap.add_argument("--seed", type=int, default=3)
     ap.add_argument("--noise", type=float, default=6.0,
                     help="sensor noise sigma (gray levels); 0 = clean render")
+    ap.add_argument("--tex-size", type=int, default=0,
+                    help="texture resolution; 0 = auto (~170 px per world "
+                         "unit, so full-res frames see crisp corners instead "
+                         "of a blurry upsample of a small texture)")
     ap.add_argument("--max-keyframes", type=int, default=128,
                     help="initial pool; growth/compaction must handle the rest")
     ap.add_argument("--max-points", type=int, default=32768)
@@ -83,10 +87,13 @@ def main():
     )
     slam = sysm.System(cfg)
 
+    tex_size = args.tex_size or int(
+        min(8192, max(2048, 2 * args.plane_half * 170))
+    )
     stream = synthetic.planar_stream(
         n_frames=args.frames, h=H, w=W, fx=FX, fy=FX, seed=args.seed,
         motion=args.motion, plane_half=args.plane_half, relief=True,
-        noise=args.noise,
+        noise=args.noise, tex_size=tex_size,
     )
     if args.sensor == "stereo":
         tex = synthetic._texture(2048, args.seed)
@@ -157,6 +164,7 @@ def main():
             "resolution": [H, W], "features": args.features,
             "levels": args.levels, "motion": args.motion,
             "plane_half": args.plane_half, "noise": args.noise,
+            "tex_size": tex_size,
             "initial_pool": [args.max_keyframes, args.max_points],
         },
         "ate_rmse": float(ate),

@@ -151,3 +151,85 @@ def test_schur_step_matches_dense_gn():
     pts_ref = prob.points + dpt
     np.testing.assert_allclose(np.asarray(out.poses), np.asarray(poses_ref), atol=2e-4)
     np.testing.assert_allclose(np.asarray(out.points), np.asarray(pts_ref), atol=2e-3)
+
+
+def test_dense_schur_matches_pcg():
+    """ba_solve_dense (single-chip latency path: dense reduced system +
+    Cholesky) must reproduce the PCG solver's solution — same LM
+    schedule, exact solve instead of 30 CG sweeps."""
+    import jax
+
+    from orbslam2_with_quadrics_tpu.ops import ba, camera, lie
+
+    key = jax.random.PRNGKey(0)
+    C, P, O = 16, 512, 4096
+    Kc = jnp.asarray([500.0, 500.0, 320.0, 240.0])
+    bf = jnp.asarray(50.0)
+    pts = jax.random.uniform(
+        key, (P, 3),
+        minval=jnp.asarray([-5.0, -3.0, 3.0]),
+        maxval=jnp.asarray([5.0, 3.0, 15.0]),
+    )
+    poses = lie.se3_exp(
+        jax.random.normal(key, (C, 6))
+        * jnp.asarray([0.005] * 3 + [0.2, 0.05, 0.2])
+    )
+    ci = jax.random.randint(key, (O,), 0, C)
+    pi = jax.random.randint(jax.random.PRNGKey(1), (O,), 0, P)
+    uvr, _ = camera.project_stereo(Kc, bf, lie.se3_apply(poses[ci], pts[pi]))
+    prob = ba.BAProblem(
+        poses=poses, points=pts + 0.03, K=Kc, bf=bf,
+        cam_idx=ci, pnt_idx=pi,
+        uvr=uvr + 0.5 * jax.random.normal(key, uvr.shape),
+        is_stereo=jnp.ones((O,)), inv_sigma2=jnp.ones((O,)),
+        valid=jnp.ones((O,)),
+        fixed_cam=jnp.zeros((C,)).at[0].set(1.0),
+        fixed_pnt=jnp.zeros((P,)),
+    )
+    p1, c1 = ba.ba_solve(prob, n_iters=6, cg_iters=40, use_huber=False)
+    p2, c2 = ba.ba_solve_dense(prob, n_iters=6, n_local_pts=P, use_huber=False)
+    assert float(c2) < 0.1 * float(
+        ba._edge_terms(prob, jnp.asarray(0.0))[5]
+    ), "dense LM failed to reduce cost"
+    np.testing.assert_allclose(
+        np.asarray(p1.poses), np.asarray(p2.poses), atol=5e-5
+    )
+    assert abs(float(c1) - float(c2)) / max(float(c1), 1.0) < 1e-3
+
+
+def test_dense_schur_point_overflow_is_safe():
+    """With n_local_pts smaller than the active point count the dense
+    step drops coupling for overflow points but the LM guard must keep
+    the solve convergent (cost strictly decreases)."""
+    import jax
+
+    from orbslam2_with_quadrics_tpu.ops import ba, camera, lie
+
+    key = jax.random.PRNGKey(2)
+    C, P, O = 8, 256, 2048
+    Kc = jnp.asarray([400.0, 400.0, 160.0, 120.0])
+    pts = jax.random.uniform(
+        key, (P, 3),
+        minval=jnp.asarray([-3.0, -2.0, 3.0]),
+        maxval=jnp.asarray([3.0, 2.0, 9.0]),
+    )
+    poses = lie.se3_exp(
+        jax.random.normal(key, (C, 6)) * jnp.asarray([0.004] * 3 + [0.1] * 3)
+    )
+    ci = jax.random.randint(key, (O,), 0, C)
+    pi = jax.random.randint(jax.random.PRNGKey(3), (O,), 0, P)
+    uvr, _ = camera.project_stereo(
+        Kc, jnp.asarray(40.0), lie.se3_apply(poses[ci], pts[pi])
+    )
+    prob = ba.BAProblem(
+        poses=poses, points=pts + 0.02, K=Kc, bf=jnp.asarray(40.0),
+        cam_idx=ci, pnt_idx=pi, uvr=uvr,
+        is_stereo=jnp.ones((O,)), inv_sigma2=jnp.ones((O,)),
+        valid=jnp.ones((O,)),
+        fixed_cam=jnp.zeros((C,)).at[0].set(1.0),
+        fixed_pnt=jnp.zeros((P,)),
+    )
+    cost0 = float(ba._edge_terms(prob, jnp.asarray(0.0))[5])
+    # only half the active points fit the dense coupling table
+    _, c = ba.ba_solve_dense(prob, n_iters=8, n_local_pts=128, use_huber=False)
+    assert float(c) < 0.5 * cost0
