@@ -17,16 +17,23 @@ except Exception:  # pragma: no cover
 
 
 def _texture(size: int, seed: int) -> np.ndarray:
-    """Multi-scale random texture with strong corners for FAST."""
+    """Multi-scale random texture with strong corners for FAST.
+
+    Detail scales with ``size``: big planes rendered at full camera
+    resolution need the same corner density per world unit as small
+    ones, so noise layers extend to size//32 and blob count grows with
+    area (identical output to the original recipe at size=2048)."""
     rng = np.random.RandomState(seed)
     img = np.zeros((size, size), np.float32)
-    # blocky multi-scale noise
-    for s in (8, 16, 32, 64):
-        layer = rng.rand(s, s).astype(np.float32)
+    # blocky multi-scale noise, finest layer ~32 px blocks
+    sc = 8
+    while sc <= max(64, size // 32):
+        layer = rng.rand(sc, sc).astype(np.float32)
         img += cv2.resize(layer, (size, size), interpolation=cv2.INTER_NEAREST)
+        sc *= 2
     img = (img - img.min()) / (img.max() - img.min())
-    # sprinkle high-contrast blobs
-    for _ in range(size):
+    # sprinkle high-contrast blobs at constant density per area
+    for _ in range(max(size, size * size // 2048)):
         x, y = rng.randint(8, size - 8, 2)
         r = rng.randint(2, 6)
         cv2.circle(img, (x, y), r, float(rng.rand()), -1)
@@ -243,8 +250,15 @@ def planar_stream(
         yield img, T
 
 
-def render_plane(tex, T_cw, K3, h, w, plane_half=3.0):
-    """Render the textured z=0 plane from pose T_cw (4x4)."""
+def render_plane(tex, T_cw, K3, h, w, plane_half=3.0,
+                 relief_tex=None, relief_half=1.2, relief_z=0.8,
+                 noise=0.0, noise_rng=None):
+    """Render the textured z=0 plane from pose T_cw (4x4).
+
+    ``relief_tex``/``noise`` must match the main stream's settings when
+    rendering the right eye of a stereo pair — a right image without the
+    relief platform gives left-relief pixels a WRONG disparity match
+    against the background plane and silently corrupts stereo depths."""
     s = tex.shape[0] / (2 * plane_half)
     S = np.array(
         [[s, 0, tex.shape[0] / 2.0], [0, s, tex.shape[0] / 2.0], [0, 0, 1.0]]
@@ -252,10 +266,30 @@ def render_plane(tex, T_cw, K3, h, w, plane_half=3.0):
     R_cw = T_cw[:3, :3]
     t_cw = T_cw[:3, 3]
     Hwi = K3 @ np.stack([R_cw[:, 0], R_cw[:, 1], t_cw], axis=1)
-    return cv2.warpPerspective(
+    img = cv2.warpPerspective(
         tex, Hwi @ np.linalg.inv(S), (w, h), flags=cv2.INTER_LINEAR,
         borderMode=cv2.BORDER_WRAP,
     )
+    if relief_tex is not None:
+        n = relief_tex.shape[0]
+        Sr = np.array(
+            [[n / (2 * relief_half), 0, n / 2.0],
+             [0, n / (2 * relief_half), n / 2.0], [0, 0, 1.0]]
+        )
+        Hr = K3 @ np.stack(
+            [R_cw[:, 0], R_cw[:, 1], R_cw[:, 2] * relief_z + t_cw], axis=1
+        )
+        top = cv2.warpPerspective(
+            relief_tex, Hr @ np.linalg.inv(Sr), (w, h),
+            flags=cv2.INTER_LINEAR, borderMode=cv2.BORDER_CONSTANT,
+            borderValue=-1.0,
+        )
+        img = np.where(top >= 0, top, img).astype(np.float32)
+    if noise > 0 and noise_rng is not None:
+        img = np.clip(
+            img + noise_rng.randn(h, w).astype(np.float32) * noise, 0.0, 255.0
+        )
+    return img
 
 
 def stereo_right_pose(T_cw, baseline):
@@ -268,16 +302,19 @@ def stereo_right_pose(T_cw, baseline):
 
 def planar_sequence_stereo(
     n_frames=40, h=240, w=320, fx=260.0, fy=260.0, baseline=0.1, seed=0,
-    motion="strafe",
+    motion="strafe", relief=False,
 ):
     """Stereo version: returns (imgs_l, imgs_r, poses, K)."""
     imgs_l, poses, K = planar_sequence(
-        n_frames=n_frames, h=h, w=w, fx=fx, fy=fy, seed=seed, motion=motion
+        n_frames=n_frames, h=h, w=w, fx=fx, fy=fy, seed=seed, motion=motion,
+        relief=relief,
     )
     tex = _texture(2048, seed)
+    relief_tex = _texture(512, seed + 77) if relief else None
     K3 = np.array([[K[0], 0, K[2]], [0, K[1], K[3]], [0, 0, 1.0]])
     imgs_r = np.stack(
-        [render_plane(tex, stereo_right_pose(T, baseline), K3, h, w) for T in poses]
+        [render_plane(tex, stereo_right_pose(T, baseline), K3, h, w,
+                      relief_tex=relief_tex) for T in poses]
     )
     return imgs_l, imgs_r, poses, K
 

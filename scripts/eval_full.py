@@ -87,8 +87,10 @@ def main():
     )
     slam = sysm.System(cfg)
 
+    # ~250 texture px per world unit keeps the per-view corner count at
+    # the level the toy scenes have (blob density is per texture px)
     tex_size = args.tex_size or int(
-        min(8192, max(2048, 2 * args.plane_half * 170))
+        min(8192, max(2048, 2 * args.plane_half * 250))
     )
     stream = synthetic.planar_stream(
         n_frames=args.frames, h=H, w=W, fx=FX, fy=FX, seed=args.seed,
@@ -96,7 +98,11 @@ def main():
         noise=args.noise, tex_size=tex_size,
     )
     if args.sensor == "stereo":
-        tex = synthetic._texture(2048, args.seed)
+        tex = synthetic._texture(tex_size, args.seed)
+        relief_tex = synthetic._texture(512, args.seed + 77)
+        noise_rng = (
+            np.random.RandomState(args.seed + 979) if args.noise > 0 else None
+        )
         K3 = np.array([[FX, 0, W / 2.0], [0, FX, H / 2.0], [0, 0, 1.0]])
         baseline = bf / FX
 
@@ -113,7 +119,8 @@ def main():
         else:
             img_r = synthetic.render_plane(
                 tex, synthetic.stereo_right_pose(T_gt, baseline), K3, H, W,
-                plane_half=args.plane_half,
+                plane_half=args.plane_half, relief_tex=relief_tex,
+                noise=args.noise, noise_rng=noise_rng,
             )
             slam.track_stereo(img, img_r, timestamp=i / 30.0)
         frame_times.append(time.perf_counter() - t0)
