@@ -201,10 +201,14 @@ def fuse_neighbors(
     scale: float = 1.2,
 ):
     """SearchInNeighbors / ORBmatcher::Fuse (src/LocalMapping.cc:454-534,
-    src/ORBmatcher.cc:825-975): project the new keyframe's points into its
-    neighbors; where a projection lands on a keypoint that already has a
-    different point, merge (keep the more-observed one); where it lands on
-    a free keypoint, add the observation."""
+    src/ORBmatcher.cc:825-975), BOTH directions like the reference
+    (forward :489, reverse :514): project the new keyframe's points into
+    its neighbors AND each neighbor's points into the new keyframe; where
+    a projection lands on a keypoint that already has a different point,
+    merge (keep the more-observed one); where it lands on a free
+    keypoint, add the observation. The reverse pass is what merges the
+    fresh depth-seeded duplicates of stereo/RGB-D keyframes into the
+    already-mature originals the tracker failed to re-match."""
     K, N = m.kf_obs_point.shape
     P = m.pt_pos.shape[0]
     sf, sigma2_tab, _ = orb.scale_factors(n_levels, scale)
@@ -221,10 +225,25 @@ def fuse_neighbors(
     desc = m.pt_desc[pid]
     obs_cnt = ms.point_obs_count(m)
 
+    def _pred_level(pid_arr, dist):
+        # MapPoint::PredictScale (src/MapPoint.cc:385-417): the octave is
+        # predicted from the point's scale band and its CURRENT distance,
+        # not copied from whichever keypoint first saw it — a point seen
+        # at octave 2 here may sit at octave 0 in the other view, and the
+        # level-gated matcher would never merge the duplicate otherwise
+        ratio = jnp.maximum(
+            m.pt_max_dist[pid_arr] / jnp.maximum(dist, 1e-6), 1e-6
+        )
+        return jnp.clip(
+            jnp.ceil(jnp.log(ratio) / jnp.log(scale)).astype(jnp.int32),
+            0, n_levels - 1,
+        )
+
     def per_neighbor(nb, ok_nb, carry):
         remap, obs_flat = carry
         T2 = m.kf_pose[nb]
-        uv_p, z = camera.project(Kc, lie.se3_apply(T2, pos))
+        pc2 = lie.se3_apply(T2, pos)
+        uv_p, z = camera.project(Kc, pc2)
         vis = (
             src_ok
             & ok_nb
@@ -235,7 +254,7 @@ def fuse_neighbors(
         mi, md = matching.match_by_projection(
             proj_uv=uv_p,
             proj_valid=vis,
-            pred_level=m.kf_level[kf_id],
+            pred_level=_pred_level(pid, jnp.linalg.norm(pc2, axis=-1)),
             query_desc=desc,
             query_angle=jnp.zeros((N,)),
             feats_uv=m.kf_uv[nb],
@@ -266,10 +285,63 @@ def fuse_neighbors(
         )
         return remap, obs_flat
 
+    T1 = m.kf_pose[kf_id]
+
+    def per_neighbor_reverse(nb, ok_nb, carry):
+        # neighbor's points -> the NEW keyframe (reference reverse Fuse,
+        # src/LocalMapping.cc:496-514)
+        remap, obs_flat = carry
+        src_nb = m.kf_obs_point[nb]
+        nb_src_ok = src_nb >= 0
+        pid_nb = jnp.clip(src_nb, 0, P - 1)
+        pc1 = lie.se3_apply(T1, m.pt_pos[pid_nb])
+        uv_p, z = camera.project(Kc, pc1)
+        vis = (
+            nb_src_ok
+            & ok_nb
+            & (z > 0.05)
+            & (uv_p[:, 0] >= 0) & (uv_p[:, 0] < width)
+            & (uv_p[:, 1] >= 0) & (uv_p[:, 1] < height)
+        )
+        mi, _ = matching.match_by_projection(
+            proj_uv=uv_p,
+            proj_valid=vis,
+            pred_level=_pred_level(pid_nb, jnp.linalg.norm(pc1, axis=-1)),
+            query_desc=m.pt_desc[pid_nb],
+            query_angle=jnp.zeros((N,)),
+            feats_uv=m.kf_uv[kf_id],
+            feats_level=m.kf_level[kf_id],
+            feats_desc=m.kf_desc[kf_id],
+            feats_angle=m.kf_angle[kf_id],
+            feats_valid=m.kf_kp_valid[kf_id],
+            radius=3.0,
+            scale_factors=sf,
+            th=matching.TH_LOW,
+            ratio=1.0,
+        )
+        hit = mi >= 0
+        tgt_kp = jnp.clip(mi, 0, N - 1)
+        existing = obs_flat[kf_id * N + tgt_kp]
+        add = hit & (existing < 0)
+        obs_flat = obs_flat.at[
+            jnp.where(add, kf_id * N + tgt_kp, K * N)
+        ].set(jnp.where(add, src_nb, -1), mode="drop")
+        dup = hit & (existing >= 0) & (existing != src_nb)
+        keep_nb = obs_cnt[pid_nb] >= obs_cnt[jnp.clip(existing, 0, P - 1)]
+        loser = jnp.where(keep_nb, existing, src_nb)
+        winner = jnp.where(keep_nb, src_nb, existing)
+        remap = remap.at[jnp.where(dup, jnp.clip(loser, 0, P - 1), P)].set(
+            jnp.where(dup, winner, 0), mode="drop"
+        )
+        return remap, obs_flat
+
     remap = jnp.arange(P, dtype=jnp.int32)
     obs_flat = m.kf_obs_point.reshape(-1)
     for i in range(n_nb):
         remap, obs_flat = per_neighbor(nb_ids[i], nb_ok[i], (remap, obs_flat))
+        remap, obs_flat = per_neighbor_reverse(
+            nb_ids[i], nb_ok[i], (remap, obs_flat)
+        )
 
     # resolve merge chains (a->b, b->c  =>  a->c) by pointer jumping
     # before applying, or a's observations would be remapped onto the

@@ -424,7 +424,7 @@ class LoopCloser:
 
     def attempt_close(
         self, m: ms.MapState, slot: int, cand: int, Kc, n_levels=8, scale=1.2,
-        height=480, width=640,
+        height=480, width=640, fix_scale: bool = False,
     ):
         """ComputeSim3 + CorrectLoop (src/LoopClosing.cc:231-585).
 
@@ -464,8 +464,11 @@ class LoopCloser:
         ]
 
         # 2. Horn RANSAC: S maps candidate-camera -> current-camera
+        #    (stereo/RGB-D fix the scale: the map is metric,
+        #    reference mbFixScale, src/LoopClosing.cc:56,267)
         S, inl, n_inl = sim3solver.ransac_sim3(
             p1, p2, pair_ok, Kc, Kc, uv1, uv2, s2_1, s2_2,
+            fix_scale=fix_scale,
         )
         if int(n_inl) < 20:
             return m, False
@@ -473,6 +476,7 @@ class LoopCloser:
         S, inl, n_inl = sim3solver.optimize_sim3(
             S, p1, p2, pair_ok & inl, Kc, Kc, uv1, uv2,
             1.0 / jnp.maximum(s2_1, 1e-9), 1.0 / jnp.maximum(s2_2, 1e-9),
+            fix_scale=fix_scale,
         )
         if int(n_inl) < 20:
             return m, False

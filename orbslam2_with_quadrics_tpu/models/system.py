@@ -45,6 +45,10 @@ class SystemConfig:
                                     # impossible in the reference; c1a/c1c
                                     # still force insertion regardless
     kf_ref_ratio: float = 0.9       # (src/Tracking.cc:1027-1044 thRefRatio)
+    kf_stereo_ref_ratio: float = 0.75  # thRefRatio for stereo/RGB-D
+                                    # (src/Tracking.cc:1021; raise toward
+                                    # 1.0 for denser keyframes on scenes
+                                    # where inliers decay slowly)
     kf_close_tracked_th: int = 100  # bNeedToInsertClose: tracked close pts
     kf_close_untracked_th: int = 70 # below/above these -> insert
                                     # (src/Tracking.cc:1016; the constants
@@ -448,7 +452,7 @@ class System:
 
         # thRefRatio (src/Tracking.cc:1021-1027): 0.75 stereo/RGB-D, 0.4
         # while the map has <2 keyframes, 0.9 for mono (overrides both)
-        ratio = 0.75
+        ratio = cfg.kf_stereo_ref_ratio
         if n_kfs < 2:
             ratio = 0.4
         if cfg.sensor == "mono":
@@ -702,6 +706,13 @@ class System:
             jnp.asarray(cfg.frontend.bf),
             n_levels=cfg.frontend.n_levels, scale=cfg.frontend.scale_factor,
         )
+        # stats BEFORE fuse: the reference refreshes normals/scale bands
+        # at MapPoint construction (UpdateNormalAndDepth in the ctor path,
+        # src/MapPoint.cc:330-371) — fuse's distance-based level
+        # prediction needs real pt_max_dist, not the fresh-point sentinel
+        self.map = ms.update_point_stats(
+            self.map, orb.scale_factors(cfg.frontend.n_levels, cfg.frontend.scale_factor)[0]
+        )
         self.map = lm.fuse_neighbors(
             self.map, jnp.asarray(slot), cfg.frontend.K,
             height=cfg.frontend.height, width=cfg.frontend.width,
@@ -746,6 +757,9 @@ class System:
                         scale=cfg.frontend.scale_factor,
                         height=cfg.frontend.height,
                         width=cfg.frontend.width,
+                        # metric sensors fix the Sim3 scale (reference
+                        # mbFixScale, src/LoopClosing.cc:56)
+                        fix_scale=cfg.sensor != "mono",
                     )
                     if ok:
                         self.n_loops_closed += 1

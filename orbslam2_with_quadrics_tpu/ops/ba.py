@@ -276,25 +276,30 @@ def local_ba(prob: BAProblem, cg_iters: int = 40):
 # ----------------------------------------------------------------------
 
 
-def _dense_schur_step(prob: BAProblem, lam, huber_delta2, n_local_pts: int):
-    """One LM step solving the reduced camera system exactly."""
-    C = prob.poses.shape[0]
+def _local_point_table(prob: BAProblem, n_local_pts: int):
+    """Compact the point ids that actually couple cameras (valid edge,
+    free point) into L local slots; overflow points fall back to
+    "no coupling this iteration" — the LM accept/reject guard keeps that
+    safe. The eligible set is fixed for a whole ba_solve_dense call, so
+    this sort runs once per solve, not once per LM iteration."""
     P = prob.points.shape[0]
     L = n_local_pts
-    Hcc_d, bc, Hpp_inv, bp, Wcp, cost = _build_system(prob, huber_delta2, lam)
-
-    # compact the point ids that actually couple cameras (valid edge,
-    # free point) into L local slots; overflow points fall back to
-    # "no coupling this iteration" — the LM accept/reject guard keeps
-    # that safe (the step is only taken if the true cost decreases)
     eligible = (prob.valid > 0) & (prob.fixed_pnt[prob.pnt_idx] < 0.5)
     tagged = jnp.where(eligible, prob.pnt_idx, P)
     loc_ids = jnp.unique(tagged, size=L, fill_value=P)          # [L] sorted
     loc_of = jnp.full((P + 1,), L, jnp.int32)
     loc_of = loc_of.at[loc_ids].set(jnp.arange(L, dtype=jnp.int32))
     loc_of = loc_of.at[P].set(L)  # sentinel / fillers never map back
+    ploc = loc_of[tagged]                                        # [O]
+    return loc_ids, ploc
 
-    ploc = loc_of[jnp.where(eligible, prob.pnt_idx, P)]          # [O]
+
+def _dense_schur_step(prob: BAProblem, lam, huber_delta2, loc_ids, ploc):
+    """One LM step solving the reduced camera system exactly."""
+    C = prob.poses.shape[0]
+    P = prob.points.shape[0]
+    L = loc_ids.shape[0]
+    Hcc_d, bc, Hpp_inv, bp, Wcp, cost = _build_system(prob, huber_delta2, lam)
     seg = jnp.where(ploc < L, ploc * C + prob.cam_idx, L * C)
     V = jax.ops.segment_sum(Wcp, seg, num_segments=L * C + 1)[:-1]
     V = V.reshape(L, C, 6, 3)                                    # [L,C,6,3]
@@ -345,9 +350,13 @@ def ba_solve_dense(
     problem sizes). Same LM damping/accept schedule as ba_solve."""
     huber_delta2 = jnp.asarray(residuals.CHI2_STEREO if use_huber else 0.0)
 
+    loc_ids, ploc = _local_point_table(prob, n_local_pts)
+
     def body(_, carry):
         prob, lam, cost = carry
-        prob, cost, ok = _dense_schur_step(prob, lam, huber_delta2, n_local_pts)
+        prob, cost, ok = _dense_schur_step(
+            prob, lam, huber_delta2, loc_ids, ploc
+        )
         lam = jnp.clip(jnp.where(ok, lam * 0.5, lam * 4.0), 1e-8, 1e8)
         return prob, lam, cost
 

@@ -57,6 +57,12 @@ def main():
                          "window must be a strict subset of the map for "
                          "revisits to be loop-closure events)")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--stereo-ref-ratio", type=float, default=0.75,
+                    help="stereo/RGB-D thRefRatio; raise toward 1.0 for "
+                         "denser keyframes when inliers decay slowly")
+    ap.add_argument("--max-kf-gap", type=int, default=30,
+                    help="mMaxFrames (reference Camera.fps): forced "
+                         "keyframe cadence; lower = denser keyframes")
     ap.add_argument("--tag", default="")
     ap.add_argument("--progress-every", type=int, default=50)
     args = ap.parse_args()
@@ -81,7 +87,8 @@ def main():
             n_features=args.features, n_levels=args.levels,
         ),
         sensor=args.sensor,
-        max_frames_between_kf=30,   # reference mMaxFrames = fps
+        max_frames_between_kf=args.max_kf_gap,  # reference mMaxFrames=fps
+        kf_stereo_ref_ratio=args.stereo_ref_ratio,
         enable_loop_closing=True,
         n_local_kf=args.n_local_kf,
     )

@@ -435,6 +435,11 @@ def test_fuse_neighbors_resolves_chained_merges():
         kf_uv=jnp.asarray(kf_uv), kf_kp_valid=jnp.asarray(kp_ok),
         kf_obs_point=jnp.asarray(obs), kf_desc=jnp.asarray(kf_desc),
     )
+    # realistic scale bands (fresh-point sentinel max_dist would predict
+    # the top octave and the level gate would reject every level-0 kp —
+    # the pipeline refreshes stats before fuse, mirror that here)
+    sf0, _, _ = orb.scale_factors(4, 1.2)
+    m = ms.update_point_stats(m, sf0)
     cnt = np.asarray(ms.point_obs_count(m))
     assert cnt[x] == 1 and cnt[s] == 2 and cnt[y] == 3
 
