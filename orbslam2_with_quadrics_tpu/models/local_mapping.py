@@ -581,13 +581,18 @@ def run_local_ba(m: ms.MapState, kf_id, Kc, bf, inv_sigma2_tab, window: int = 16
     # on a latency-bound single chip (ops/ba.py ba_solve_dense; the PCG
     # path remains the mesh-sharded solver in parallel/dist_ba.py)
     n_loc = min(P, 8192)
+    # exact solves converge in far fewer LM steps than g2o's damped-CG
+    # 5+10 schedule needed; the edge table is cam-major [C, N], so
+    # per-camera reductions are scatter-free (cam_grid)
     prob, _ = ba.ba_solve_dense(
-        prob, n_iters=5, n_local_pts=n_loc, use_huber=True
+        prob, n_iters=4, n_local_pts=n_loc, use_huber=True,
+        cam_grid=(C, N),
     )
     _, inl = ba.edge_chi2(prob)
     prob = prob._replace(valid=prob.valid * inl.astype(jnp.float32))
     prob, cost = ba.ba_solve_dense(
-        prob, n_iters=n_iters, n_local_pts=n_loc, use_huber=False
+        prob, n_iters=min(n_iters, 6), n_local_pts=n_loc, use_huber=False,
+        cam_grid=(C, N),
     )
 
     # scatter back: window poses (free, deduped cams only — masked rows

@@ -100,13 +100,30 @@ def _seg(vals, idx, num, axis_name=None):
     return out
 
 
-def _build_system(prob: BAProblem, huber_delta2, lam, axis_name=None):
+def _cam_reduce(vals, prob, C, axis_name=None, cam_grid=None):
+    """Per-camera reduction. With ``cam_grid=(C, N)`` the edge table is
+    known to be cam-major [C, N] (cam_idx = arange(C) repeated), so the
+    reduction is a pure reshape-sum — a scatter-free VPU reduction
+    instead of a segment_sum (TPU scatter-adds run ~10x slower than
+    dense reductions; per-cam blocks are the fattest edge tensors)."""
+    if cam_grid is not None:
+        Cg, N = cam_grid
+        return vals.reshape((Cg, N) + vals.shape[1:]).sum(axis=1)
+    return _seg(vals, prob.cam_idx, C, axis_name)
+
+
+def _build_system(prob: BAProblem, huber_delta2, lam, axis_name=None,
+                  cam_grid=None):
     C, P = prob.poses.shape[0], prob.points.shape[0]
     e, Jc, Jp, JcW, JpW, cost, _, _ = _edge_terms(prob, huber_delta2, axis_name)
 
-    Hcc = _seg(jnp.einsum("ori,orj->oij", JcW, Jc), prob.cam_idx, C, axis_name)
+    Hcc = _cam_reduce(
+        jnp.einsum("ori,orj->oij", JcW, Jc), prob, C, axis_name, cam_grid
+    )
     # GN normal equations: H delta = b with b = -J^T W e (J = de/dx)
-    bc = _seg(-jnp.einsum("ori,or->oi", JcW, e), prob.cam_idx, C, axis_name)
+    bc = _cam_reduce(
+        -jnp.einsum("ori,or->oi", JcW, e), prob, C, axis_name, cam_grid
+    )
     Hpp = _seg(jnp.einsum("ori,orj->oij", JpW, Jp), prob.pnt_idx, P, axis_name)
     bp = _seg(-jnp.einsum("ori,or->oi", JpW, e), prob.pnt_idx, P, axis_name)
     Wcp = jnp.einsum("ori,orj->oij", JcW, Jp)  # [O,6,3] stays per-edge
@@ -203,12 +220,12 @@ def ba_iteration(prob: BAProblem, lam, huber_delta2, cg_iters: int, axis_name=No
     return out, jnp.where(ok, new_cost, cost), ok
 
 
-def _schur_rhs(prob, Hpp_inv, bp, Wcp, axis_name=None):
+def _schur_rhs(prob, Hpp_inv, bp, Wcp, axis_name=None, cam_grid=None):
     """W Hpp^-1 bp accumulated per camera."""
     C = prob.poses.shape[0]
     y = jnp.einsum("pij,pj->pi", Hpp_inv, bp)
     t = jnp.einsum("oij,oj->oi", Wcp, y[prob.pnt_idx])
-    return _seg(t, prob.cam_idx, C, axis_name)
+    return _cam_reduce(t, prob, C, axis_name, cam_grid)
 
 
 @partial(jax.jit, static_argnames=("n_iters", "cg_iters", "use_huber", "axis_name"))
@@ -294,12 +311,15 @@ def _local_point_table(prob: BAProblem, n_local_pts: int):
     return loc_ids, ploc
 
 
-def _dense_schur_step(prob: BAProblem, lam, huber_delta2, loc_ids, ploc):
+def _dense_schur_step(prob: BAProblem, lam, huber_delta2, loc_ids, ploc,
+                      cam_grid=None):
     """One LM step solving the reduced camera system exactly."""
     C = prob.poses.shape[0]
     P = prob.points.shape[0]
     L = loc_ids.shape[0]
-    Hcc_d, bc, Hpp_inv, bp, Wcp, cost = _build_system(prob, huber_delta2, lam)
+    Hcc_d, bc, Hpp_inv, bp, Wcp, cost = _build_system(
+        prob, huber_delta2, lam, cam_grid=cam_grid
+    )
     seg = jnp.where(ploc < L, ploc * C + prob.cam_idx, L * C)
     V = jax.ops.segment_sum(Wcp, seg, num_segments=L * C + 1)[:-1]
     V = V.reshape(L, C, 6, 3)                                    # [L,C,6,3]
@@ -314,7 +334,7 @@ def _dense_schur_step(prob: BAProblem, lam, huber_delta2, loc_ids, ploc):
     S = S.at[jnp.arange(C), :, jnp.arange(C), :].add(Hcc_d)
     S_flat = S.reshape(C * 6, C * 6)
 
-    g = bc - _schur_rhs(prob, Hpp_inv, bp, Wcp)
+    g = bc - _schur_rhs(prob, Hpp_inv, bp, Wcp, cam_grid=cam_grid)
     dc = jax.scipy.linalg.cho_solve(
         jax.scipy.linalg.cho_factor(
             S_flat + 1e-10 * jnp.eye(C * 6, dtype=S_flat.dtype)
@@ -339,15 +359,20 @@ def _dense_schur_step(prob: BAProblem, lam, huber_delta2, loc_ids, ploc):
     return out, jnp.where(ok, new_cost, cost), ok
 
 
-@partial(jax.jit, static_argnames=("n_iters", "n_local_pts", "use_huber"))
+@partial(jax.jit, static_argnames=("n_iters", "n_local_pts", "use_huber",
+                                   "cam_grid"))
 def ba_solve_dense(
     prob: BAProblem,
     n_iters: int = 10,
     n_local_pts: int = 8192,
     use_huber: bool = True,
+    cam_grid=None,
 ):
     """ba_solve with the dense-Schur direct step (single chip, local-BA
-    problem sizes). Same LM damping/accept schedule as ba_solve."""
+    problem sizes). Same LM damping/accept schedule as ba_solve.
+
+    cam_grid: optional static (C, N) when the edge table is cam-major
+    [C, N] — per-camera reductions become scatter-free reshape-sums."""
     huber_delta2 = jnp.asarray(residuals.CHI2_STEREO if use_huber else 0.0)
 
     loc_ids, ploc = _local_point_table(prob, n_local_pts)
@@ -355,7 +380,7 @@ def ba_solve_dense(
     def body(_, carry):
         prob, lam, cost = carry
         prob, cost, ok = _dense_schur_step(
-            prob, lam, huber_delta2, loc_ids, ploc
+            prob, lam, huber_delta2, loc_ids, ploc, cam_grid
         )
         lam = jnp.clip(jnp.where(ok, lam * 0.5, lam * 4.0), 1e-8, 1e8)
         return prob, lam, cost
