@@ -1,10 +1,18 @@
 """Monocular TUM driver (reference Examples/Monocular/mono_tum.cc).
 
-Usage: python examples/mono_tum.py <settings.yaml> <sequence_dir> [traj_out]
+Usage: python examples/mono_tum.py <settings.yaml> <sequence_dir>
+           [traj_out] [detections_dir]
 
 The reference CLI is `mono_tum vocab settings sequence`; the vocabulary
-argument is gone because the vocabulary is trained from the sequence
-itself (see models/system.py _maybe_train_vocab).
+argument is gone because a pretrained vocabulary asset ships with the
+package (assets/vocab_100k.npz, see models/system.py).
+
+``detections_dir``: optional per-frame object-detection files (the
+reference's dead "offline detection" stub, mono_tum.cc:74-78, made
+real): one `<frame_basename>.txt` per image in the
+read_obj_detection_txt format (x y w h prob class per line,
+matrix_utils.h:49-54) enables the dual-quadric landmark pipeline
+(BASELINE config #4).
 """
 
 import os
@@ -20,7 +28,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
 
-def main(settings_path, seq_dir, traj_out="trajectory_tum.txt"):
+def main(settings_path, seq_dir, traj_out="trajectory_tum.txt",
+         detections_dir=None):
     import numpy as np
 
     from orbslam2_with_quadrics_tpu.models import map_state as ms
@@ -44,14 +53,24 @@ def main(settings_path, seq_dir, traj_out="trajectory_tum.txt"):
         sensor="mono",
         max_frames_between_kf=int(config.camera_fps(settings)),
         enable_loop_closing=True,
+        enable_quadrics=detections_dir is not None,
     )
     slam = sysm.System(cfg)
 
+    def dets_for(img_path):
+        if detections_dir is None:
+            return None
+        base = os.path.splitext(os.path.basename(img_path))[0]
+        det_path = os.path.join(detections_dir, base + ".txt")
+        if not os.path.exists(det_path):
+            return None
+        return datasets.read_obj_detection_txt(det_path)
+
     times = []
     with AsyncImageLoader([p for _, p in rgb], n_threads=2) as loader:
-        for (ts, _), (img, _) in zip(rgb, loader):
+        for (ts, path), (img, _) in zip(rgb, loader):
             t0 = time.perf_counter()
-            slam.track_monocular(img, timestamp=ts)
+            slam.track_monocular(img, timestamp=ts, detections=dets_for(path))
             times.append(time.perf_counter() - t0)
 
     from orbslam2_with_quadrics_tpu.utils import viz
@@ -75,4 +94,4 @@ if __name__ == "__main__":
     if len(sys.argv) < 3:
         print(__doc__)
         raise SystemExit(1)
-    main(*sys.argv[1:4])
+    main(*sys.argv[1:5])
