@@ -239,14 +239,33 @@ def fuse_neighbors(
             0, n_levels - 1,
         )
 
+    def _fuse_vis_gates(pid_arr, pc, T_obs):
+        # reference Fuse visibility gates (src/ORBmatcher.cc:846-876):
+        # distance inside the point's scale band and viewing angle within
+        # 60 deg of the stored normal — without them the projection sweep
+        # merges points that merely LOOK similar from an invalid viewpoint
+        dist = jnp.linalg.norm(pc, axis=-1)
+        band = (dist >= m.pt_min_dist[pid_arr]) & (
+            dist <= m.pt_max_dist[pid_arr]
+        )
+        c_obs = -lie.quat_rotate(lie.quat_conj(T_obs[:4]), T_obs[4:7])
+        vec = m.pt_pos[pid_arr] - c_obs[None, :]
+        view = (
+            jnp.sum(vec * m.pt_normal[pid_arr], axis=-1)
+            / jnp.maximum(jnp.linalg.norm(vec, axis=-1), 1e-6)
+        ) > 0.5
+        return band & view, dist
+
     def per_neighbor(nb, ok_nb, carry):
         remap, obs_flat = carry
         T2 = m.kf_pose[nb]
         pc2 = lie.se3_apply(T2, pos)
         uv_p, z = camera.project(Kc, pc2)
+        gates, _ = _fuse_vis_gates(pid, pc2, T2)
         vis = (
             src_ok
             & ok_nb
+            & gates
             & (z > 0.05)
             & (uv_p[:, 0] >= 0) & (uv_p[:, 0] < width)
             & (uv_p[:, 1] >= 0) & (uv_p[:, 1] < height)
@@ -296,9 +315,11 @@ def fuse_neighbors(
         pid_nb = jnp.clip(src_nb, 0, P - 1)
         pc1 = lie.se3_apply(T1, m.pt_pos[pid_nb])
         uv_p, z = camera.project(Kc, pc1)
+        gates, _ = _fuse_vis_gates(pid_nb, pc1, T1)
         vis = (
             nb_src_ok
             & ok_nb
+            & gates
             & (z > 0.05)
             & (uv_p[:, 0] >= 0) & (uv_p[:, 0] < width)
             & (uv_p[:, 1] >= 0) & (uv_p[:, 1] < height)
@@ -326,8 +347,15 @@ def fuse_neighbors(
         obs_flat = obs_flat.at[
             jnp.where(add, kf_id * N + tgt_kp, K * N)
         ].set(jnp.where(add, src_nb, -1), mode="drop")
-        dup = hit & (existing >= 0) & (existing != src_nb)
-        keep_nb = obs_cnt[pid_nb] >= obs_cnt[jnp.clip(existing, 0, P - 1)]
+        # merge only when one side is IMMATURE (<=2 observations): the
+        # reverse sweep exists to kill the fresh depth-seeded duplicates;
+        # letting it merge two mature points occasionally fuses distinct
+        # landmarks under drift and collapses tracking (observed: a
+        # 500-frame orbit went LOST mid-run with unrestricted merging)
+        ex_cnt = obs_cnt[jnp.clip(existing, 0, P - 1)]
+        immature = (ex_cnt <= 2) | (obs_cnt[pid_nb] <= 2)
+        dup = hit & (existing >= 0) & (existing != src_nb) & immature
+        keep_nb = obs_cnt[pid_nb] >= ex_cnt
         loser = jnp.where(keep_nb, existing, src_nb)
         winner = jnp.where(keep_nb, src_nb, existing)
         remap = remap.at[jnp.where(dup, jnp.clip(loser, 0, P - 1), P)].set(
