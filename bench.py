@@ -146,14 +146,29 @@ def main():
 
     _prog("compiling tracking scan...")
     seq_j = jax.jit(seq)
-    # flops from the client-side HLO analysis (no backend compile needed);
-    # explicit lowered.compile() hangs on tunnel/plugin backends
+    # FLOPs for the MFU estimate: compiled cost_analysis when the backend
+    # provides it; else lower the same function for CPU from abstract
+    # shapes (no device transfer) — the HLO-level flop count is
+    # backend-independent enough for a utilization estimate
+    scan_flops = 0.0
     try:
-        scan_flops = float(
-            seq_j.lower(m, img, T, prev_obs).cost_analysis().get("flops", 0.0)
-        )
+        ca = seq_j.lower(m, img, T, prev_obs).compile().cost_analysis()
+        if ca:
+            scan_flops = float(ca.get("flops", 0.0) or 0.0)
     except Exception:
-        scan_flops = 0.0
+        pass
+    if not scan_flops:
+        try:
+            absargs = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+                (m, img, T, prev_obs),
+            )
+            with jax.default_device(jax.devices("cpu")[0]):
+                ca = jax.jit(seq).lower(*absargs).compile().cost_analysis()
+            if ca:
+                scan_flops = float(ca.get("flops", 0.0) or 0.0)
+        except Exception:
+            pass
     jax.block_until_ready(seq_j(m, img, T, prev_obs))
     _prog("timing tracking scan...")
     t0 = time.perf_counter()
@@ -204,22 +219,30 @@ def main():
     t_cull, _ = _timed(cull_j, m_tri)
 
     # the whole keyframe-rate pipeline as ONE dispatch: per-stage numbers
-    # above each pay a host->device round trip (~30 ms through a tunnel),
-    # which would quadruple-count dispatch latency in the amortized figure
+    # above each pay a host->device round trip (~25 ms through a tunnel),
+    # which would quadruple-count dispatch latency in the amortized
+    # figure. This is the REAL program the System dispatches per keyframe
+    # (insert + depth spawn + cull + triangulate + stats + fuse + stats +
+    # local BA + KF cull, models/system.py _insert_and_map).
     _prog("stage: mapping pipeline (fused)")
+    from orbslam2_with_quadrics_tpu.models import system as sysm
+
+    bench_feats = fe.FrameFeatures(
+        uv=uv_all[:NFEAT], uv_und=uv_all[:NFEAT],
+        level=jnp.zeros((NFEAT,), jnp.int32), angle=jnp.zeros((NFEAT,)),
+        score=jnp.ones((NFEAT,)), desc=desc[:NFEAT],
+        valid=jnp.ones((NFEAT,), bool), ur=jnp.full((NFEAT,), -1.0),
+        depth=jnp.zeros((NFEAT,)),
+    )
+    protect = np.zeros((NKF,), bool)
 
     def map_pipeline(m):
-        m2, _ = lm.create_new_points(
-            m, slot, cfg.K, jnp.asarray(0.0), n_levels=NLEV, scale=1.2
+        m2, aux = sysm._insert_and_map(
+            m, bench_feats, lie.se3_identity(), np.int32(100), np.int32(2),
+            jnp.full((NFEAT,), -1, jnp.int32), protect, inv_sigma2,
+            cfg, "mono", 16,
         )
-        m2 = lm.fuse_neighbors(
-            m2, slot, cfg.K, height=H, width=W, n_levels=NLEV, scale=1.2
-        )
-        m2, _ = lm.run_local_ba(
-            m2, slot, cfg.K, jnp.asarray(0.0), inv_sigma2, window=16
-        )
-        m2 = lm.cull_keyframes(m2, slot)
-        return m2.kf_pose
+        return aux
 
     t_map, _ = _timed(jax.jit(map_pipeline), m)
 

@@ -51,6 +51,7 @@ def create_new_points(
     n_neighbors: int = 10,
     n_levels: int = 8,
     scale: float = 1.2,
+    W=None,
 ):
     """Triangulate new map points between the newest keyframe and its
     covisible neighbors (CreateNewMapPoints, src/LocalMapping.cc:207-452).
@@ -64,7 +65,8 @@ def create_new_points(
     P = m.pt_pos.shape[0]
     sf, sigma2_tab, _ = orb.scale_factors(n_levels, scale)
 
-    W = ms.covisibility(m)
+    if W is None:
+        W = ms.covisibility(m)
     n_nb = min(n_neighbors, K)
     nb_w, nb_ids = jax.lax.top_k(W[kf_id], n_nb)
     nb_ok = nb_w > 0
@@ -199,6 +201,7 @@ def fuse_neighbors(
     n_neighbors: int = 10,
     n_levels: int = 8,
     scale: float = 1.2,
+    W=None,
 ):
     """SearchInNeighbors / ORBmatcher::Fuse (src/LocalMapping.cc:454-534,
     src/ORBmatcher.cc:825-975), BOTH directions like the reference
@@ -213,7 +216,8 @@ def fuse_neighbors(
     P = m.pt_pos.shape[0]
     sf, sigma2_tab, _ = orb.scale_factors(n_levels, scale)
 
-    W = ms.covisibility(m)
+    if W is None:
+        W = ms.covisibility(m)
     n_nb = min(n_neighbors, K)
     nb_w, nb_ids = jax.lax.top_k(W[kf_id], n_nb)
     nb_ok = nb_w > 0
@@ -289,8 +293,16 @@ def fuse_neighbors(
         hit = mi >= 0
         tgt_kp = jnp.clip(mi, 0, N - 1)
         existing = obs_flat[nb * N + tgt_kp]  # current point at that kp
-        # case 1: free keypoint -> add observation
-        add = hit & (existing < 0)
+        # case 1: free keypoint -> add observation, but never a SECOND
+        # observation of a point this keyframe already sees elsewhere
+        # (reference Fuse gates on pMP->IsInKeyFrame, src/ORBmatcher.cc:
+        # 900-906; a double observation inflates covisibility weights
+        # and duplicates BA edges — ADVICE r03)
+        nb_row = jax.lax.dynamic_slice_in_dim(obs_flat, nb * N, N)
+        seen_in_nb = jnp.zeros((P + 1,), bool).at[
+            jnp.where(nb_row >= 0, nb_row, P)
+        ].set(True)[:P]
+        add = hit & (existing < 0) & ~seen_in_nb[pid]
         obs_flat = obs_flat.at[
             jnp.where(add, nb * N + tgt_kp, K * N)
         ].set(jnp.where(add, src_pts, -1), mode="drop")
@@ -343,7 +355,14 @@ def fuse_neighbors(
         hit = mi >= 0
         tgt_kp = jnp.clip(mi, 0, N - 1)
         existing = obs_flat[kf_id * N + tgt_kp]
-        add = hit & (existing < 0)
+        # IsInKeyFrame gate (src/ORBmatcher.cc:900-906): the new KF may
+        # already observe this neighbor point at another keypoint —
+        # adding a second row would double-count it (ADVICE r03)
+        kf_row = jax.lax.dynamic_slice_in_dim(obs_flat, kf_id * N, N)
+        seen_in_kf = jnp.zeros((P + 1,), bool).at[
+            jnp.where(kf_row >= 0, kf_row, P)
+        ].set(True)[:P]
+        add = hit & (existing < 0) & ~seen_in_kf[pid_nb]
         obs_flat = obs_flat.at[
             jnp.where(add, kf_id * N + tgt_kp, K * N)
         ].set(jnp.where(add, src_nb, -1), mode="drop")
@@ -391,9 +410,14 @@ def fuse_neighbors(
 
 
 @jax.jit
-def cull_keyframes(m: ms.MapState, kf_id, protect=None):
+def cull_keyframes(m: ms.MapState, kf_id, protect=None, W=None):
     """KeyFrameCulling (src/LocalMapping.cc:632-696): a covisible keyframe
-    is redundant if >=90% of its points are observed by >=3 other KFs.
+    is redundant if >=90% of its points are observed by >=3 other KFs
+    *at the same or finer scale* (the reference's scaleLevel <=
+    scaleLevel+1 condition at src/LocalMapping.cc:661-668 — without it,
+    far-away coarse observations count as replacements for close
+    fine-scale ones and culling runs far too hot; r03's 444-created/
+    12-live churn traced to exactly this).
 
     ``protect`` [K] bool: keyframes that must never be culled — the
     reference pins loop-closure keyframes forever (KeyFrame::AddLoopEdge
@@ -401,8 +425,9 @@ def cull_keyframes(m: ms.MapState, kf_id, protect=None):
     drop its persistent loop edge from every later essential graph."""
     K, N = m.kf_obs_point.shape
     P = m.pt_pos.shape[0]
-    obs_cnt = ms.point_obs_count(m)
-    W = ms.covisibility(m)
+    n_levels = 8
+    if W is None:
+        W = ms.covisibility(m)
     cand = (W[kf_id] > 0) & m.kf_valid
     # never cull slot 0 (gauge origin) or the newest two keyframes
     cand = cand & (jnp.arange(K) != 0) & (jnp.arange(K) < m.n_kf - 2)
@@ -411,7 +436,29 @@ def cull_keyframes(m: ms.MapState, kf_id, protect=None):
 
     obs = m.kf_obs_point
     has = (obs >= 0) & m.kf_kp_valid
-    redundant_obs = has & (obs_cnt[jnp.clip(obs, 0, P - 1)] >= 4)
+    # per-(point, level) observation histogram -> cumulative over level:
+    # cum[p, l] = #observations of p at octave <= l (any keyframe)
+    flat_p = jnp.where(has, obs, P).reshape(-1)
+    lvl_flat = jnp.clip(m.kf_level, 0, n_levels - 1).reshape(-1)
+    hist = jax.ops.segment_sum(
+        jax.nn.one_hot(lvl_flat, n_levels, dtype=jnp.float32)
+        * has.reshape(-1)[:, None],
+        flat_p,
+        num_segments=P + 1,
+    )[:P]
+    cum = jnp.cumsum(hist, axis=1)  # [P, n_levels]
+    # for this KF's observation at octave l: others at octave <= l+1
+    lvl_self = jnp.clip(m.kf_level, 0, n_levels - 1)
+    lvl_gate = jnp.minimum(lvl_self + 1, n_levels - 1)
+    n_others = (
+        jnp.take_along_axis(
+            cum[jnp.clip(obs, 0, P - 1).reshape(-1)],
+            lvl_gate.reshape(-1)[:, None],
+            axis=1,
+        )[:, 0].reshape(K, N)
+        - 1.0  # exclude the candidate's own observation
+    )
+    redundant_obs = has & (n_others >= 3)
     n_has = jnp.sum(has, axis=1)
     n_red = jnp.sum(redundant_obs, axis=1)
     redundant = cand & (
@@ -509,7 +556,7 @@ def run_global_ba(m: ms.MapState, Kc, bf, inv_sigma2_tab, n_iters: int = 10):
 
 @partial(jax.jit, static_argnames=("window", "n_iters", "boundary"))
 def run_local_ba(m: ms.MapState, kf_id, Kc, bf, inv_sigma2_tab, window: int = 16,
-                 n_iters: int = 10, boundary: int = 32):
+                 n_iters: int = 10, boundary: int = 32, W=None):
     """Local BA over the covisibility window of ``kf_id``
     (Optimizer::LocalBundleAdjustment, src/Optimizer.cc:453-778).
 
@@ -523,7 +570,8 @@ def run_local_ba(m: ms.MapState, kf_id, Kc, bf, inv_sigma2_tab, window: int = 16
     K, N = m.kf_obs_point.shape
     P = m.pt_pos.shape[0]
 
-    W = ms.covisibility(m)
+    if W is None:
+        W = ms.covisibility(m)
     n_w = min(window, K)
     w_w, w_ids = jax.lax.top_k(W[kf_id], n_w)
     in_window = jnp.zeros((K,), bool).at[w_ids].set(w_w > 0).at[kf_id].set(True)
@@ -606,22 +654,32 @@ def run_local_ba(m: ms.MapState, kf_id, Kc, bf, inv_sigma2_tab, window: int = 16
     # dense-Schur direct solve: the reduced camera system here is tiny
     # (C = window+1+boundary <= ~50 cameras), so building S densely and
     # Cholesky-solving beats ~30 sequential CG sweeps per LM iteration
-    # on a latency-bound single chip (ops/ba.py ba_solve_dense; the PCG
-    # path remains the mesh-sharded solver in parallel/dist_ba.py)
-    n_loc = min(P, 8192)
-    # exact solves converge in far fewer LM steps than g2o's damped-CG
-    # 5+10 schedule needed; the edge table is cam-major [C, N], so
-    # per-camera reductions are scatter-free (cam_grid)
-    prob, _ = ba.ba_solve_dense(
-        prob, n_iters=4, n_local_pts=n_loc, use_huber=True,
-        cam_grid=(C, N),
-    )
-    _, inl = ba.edge_chi2(prob)
-    prob = prob._replace(valid=prob.valid * inl.astype(jnp.float32))
-    prob, cost = ba.ba_solve_dense(
-        prob, n_iters=min(n_iters, 6), n_local_pts=n_loc, use_huber=False,
-        cam_grid=(C, N),
-    )
+    # on a latency-bound single chip (ops/ba.py ba_solve_dense — its
+    # planar layout + one-hot MXU reductions are TPU-specific wins;
+    # XLA:CPU materializes the one-hot operands, so CPU traces take the
+    # segment-sum PCG path instead — trace-time host decision).
+    if jax.default_backend() != "cpu":
+        n_loc = min(P, 8192)
+        # exact solves converge in far fewer LM steps than g2o's
+        # damped-CG 5+10 schedule needed; the edge table is cam-major
+        # [C, N], so per-camera reductions are scatter-free (cam_grid)
+        prob, _ = ba.ba_solve_dense(
+            prob, n_iters=4, n_local_pts=n_loc, use_huber=True,
+            cam_grid=(C, N),
+        )
+        _, inl = ba.edge_chi2(prob)
+        prob = prob._replace(valid=prob.valid * inl.astype(jnp.float32))
+        prob, cost = ba.ba_solve_dense(
+            prob, n_iters=min(n_iters, 6), n_local_pts=n_loc,
+            use_huber=False, cam_grid=(C, N),
+        )
+    else:
+        prob, _ = ba.ba_solve(prob, n_iters=4, cg_iters=40, use_huber=True)
+        _, inl = ba.edge_chi2(prob)
+        prob = prob._replace(valid=prob.valid * inl.astype(jnp.float32))
+        prob, cost = ba.ba_solve(
+            prob, n_iters=min(n_iters, 6), cg_iters=40, use_huber=False
+        )
 
     # scatter back: window poses (free, deduped cams only — masked rows
     # are dropped so duplicate slots cannot race), all points

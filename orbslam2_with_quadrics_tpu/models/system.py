@@ -187,6 +187,23 @@ class System:
         self.n_point_growths = 0
         self.n_kf_compactions = 0
         self.n_kf_growths = 0
+        # ---- fast-path (single-dispatch pipelined) tracking state ----
+        # the steady-state OK path dispatches one fused _frame_step per
+        # frame and consumes its prefetched stats ONE FRAME LATER, so
+        # the host never blocks on the device (the reference's camera
+        # thread similarly never waits for mapping). See _track_fast.
+        self._pend = None          # previous frame awaiting processing
+        self._map_aux = None       # in-flight _insert_and_map aux vector;
+                                   # None = mapping idle (the reference's
+                                   # AcceptKeyFrames flag)
+        self._pending_loop = None  # (slot, prefetched detect arrays)
+        self._n_kf_host = 0        # host mirror of map.n_kf
+        self._kf_live = 0          # live keyframes (aux-updated)
+        self._n_pt_est = 0         # point-pool high-water estimate
+        self._n_ref_vals = {2: 1, 3: 1}  # ref-KF TrackedMapPoints
+        self._extra_obs_holders = []     # frames whose obs need id remaps
+        self._ref_anchor = None    # ref KF pose as the track chain saw it
+                                   # (the _frame_step re-anchor input)
 
     def _init_frontend(self):
         """2x-feature extractor config used only while NOT_INITIALIZED
@@ -213,6 +230,9 @@ class System:
             "(reference System::TrackMonocular sensor check, src/System.cc:220-224)"
         )
         self._pending_detections = detections
+        img = jnp.asarray(img, jnp.float32)
+        if self.state == self.OK:
+            return self._track_fast(img, None, timestamp)
         # before initialization the reference extracts 2x the features
         # (mpIniORBextractor, src/Tracking.cc:124-125, selected at :258)
         fcfg = (
@@ -220,7 +240,7 @@ class System:
             if self.state == self.NOT_INITIALIZED
             else self.cfg.frontend
         )
-        feats = fe.extract_mono(fcfg, jnp.asarray(img, jnp.float32))
+        feats = fe.extract_mono(fcfg, img)
         return self._track(feats, timestamp)
 
     def track_rgbd(self, img, depth, timestamp=0.0, detections=None):
@@ -228,10 +248,12 @@ class System:
             "called track_rgbd but sensor is not rgbd (src/System.cc:169-173)"
         )
         self._pending_detections = detections
+        img = jnp.asarray(img, jnp.float32)
+        depth = jnp.asarray(depth, jnp.float32)
+        if self.state == self.OK:
+            return self._track_fast(img, depth, timestamp)
         feats = fe.extract_rgbd(
-            self.cfg.frontend,
-            jnp.asarray(img, jnp.float32),
-            jnp.asarray(depth, jnp.float32) * self.cfg.depth_factor,
+            self.cfg.frontend, img, depth * self.cfg.depth_factor,
         )
         return self._track(feats, timestamp)
 
@@ -240,11 +262,11 @@ class System:
             "called track_stereo but sensor is not stereo (src/System.cc:118-122)"
         )
         self._pending_detections = detections
-        feats = fe.extract_stereo(
-            self.cfg.frontend,
-            jnp.asarray(img_l, jnp.float32),
-            jnp.asarray(img_r, jnp.float32),
-        )
+        img_l = jnp.asarray(img_l, jnp.float32)
+        img_r = jnp.asarray(img_r, jnp.float32)
+        if self.state == self.OK:
+            return self._track_fast(img_l, img_r, timestamp)
+        feats = fe.extract_stereo(self.cfg.frontend, img_l, img_r)
         return self._track(feats, timestamp)
 
     # ------------------------------------------------------------------
@@ -275,8 +297,11 @@ class System:
     def shutdown(self):
         """Flush all in-flight work (System::Shutdown joins the worker
         threads and spin-waits on isRunningGBA, src/System.cc:301-320; here
-        that is the async-GBA thread plus JAX's dispatch queue). Call
+        that is the pending pipelined frame, the in-flight mapping
+        dispatch, the async-GBA thread and JAX's dispatch queue). Call
         before saving trajectories, as the reference requires."""
+        self._flush()
+        self._consume_map_aux(block=True)
         self._apply_gba_if_ready(wait=True)
         jax.block_until_ready(self.map.kf_pose)
         jax.block_until_ready(self.T_cw)
@@ -331,6 +356,16 @@ class System:
             self._gba_result = None
         self._gba_thread = None
         self._big_change_idx += 1
+        # fast-path pipeline state
+        self._pend = None
+        self._map_aux = None
+        self._pending_loop = None
+        self._n_kf_host = 0
+        self._kf_live = 0
+        self._n_pt_est = 0
+        self._n_ref_vals = {2: 1, 3: 1}
+        self._n_ref_cache = None
+        self._ref_anchor = None
 
     def _get_obs_A(self):
         """[K,P] binary observation matrix, cached across frames.
@@ -345,7 +380,7 @@ class System:
         if self._obs_A is None or any(
             a is not b for a, b in zip(src, self._obs_A_src)
         ):
-            self._obs_A = ms.observation_matrix(self.map)
+            self._obs_A = _observation_matrix_jit(self.map)
             self._obs_A_src = src
         return self._obs_A
 
@@ -417,6 +452,343 @@ class System:
         self.frame_id += 1
         self.metrics.append({"frame": self.frame_id, "inliers": n_inl, "lost": False})
         return self._record(timestamp)
+
+    # ------------------------------------------------------------------
+    # fast path: pipelined single-dispatch tracking (VERDICT r03 #1/#2)
+    # ------------------------------------------------------------------
+
+    def _track_fast(self, img, aux_img, timestamp):
+        """Steady-state OK tracking: dispatch ONE fused device program for
+        the whole frame, prefetch its 18-float stats vector, and process
+        the PREVIOUS frame's (already-transferred) stats — so the host
+        never waits for the device and the device queue stays full. The
+        depth-1 pipeline mirrors the reference's tracking-thread /
+        mapping-thread overlap (SURVEY §2.3 P1/P2): keyframe-rate mapping
+        work dispatched here runs on-device underneath later frames'
+        tracking dispatches."""
+        cfg = self.cfg
+        self._apply_gba_if_ready()
+        if self._ref_anchor is None:
+            self._ref_anchor = self.map.kf_pose[self.ref_kf]
+        (feats, T_new, vel_new, obs_new, pt_vis, pt_fnd, stats,
+         anchor_new) = _frame_step(
+            self.map,
+            self._get_obs_A(),
+            img,
+            img if aux_img is None else aux_img,
+            self.T_cw,
+            self.velocity,
+            self.prev_obs,
+            np.int32(self.ref_kf),
+            self._ref_anchor,
+            cfg.frontend,
+            cfg.sensor,
+            cfg.min_inliers_track,
+            min(cfg.n_local_kf, cfg.map.max_keyframes),
+            min(cfg.n_local_pt, cfg.map.max_points),
+            cfg.depth_factor,
+        )
+        self._ref_anchor = anchor_new
+        try:
+            stats.copy_to_host_async()
+        except Exception:
+            pass  # backend without async transfers: np.asarray still works
+        self.last_feats = feats
+        self.map = self.map._replace(pt_visible=pt_vis, pt_found=pt_fnd)
+        self.T_cw, self.velocity, self.prev_obs = T_new, vel_new, obs_new
+        prev = self._pend
+        self._pend = {
+            "frame_id": self.frame_id,
+            "ts": timestamp,
+            "stats": stats,
+            "feats": feats,
+            "obs": obs_new,
+            "T": T_new,
+            "ref_kf": self.ref_kf,
+            "detections": self._pending_detections,
+        }
+        self.frame_id += 1
+        if prev is not None:
+            self._process_pend(prev)
+        return T_new
+
+    def _flush(self, allow_kf: bool = True):
+        """Drain the depth-1 pipeline (process the pending frame). Called
+        before anything that must see a fully-consistent host state:
+        savers, shutdown, capacity events, sync-path transitions."""
+        p = self._pend
+        self._pend = None
+        if p is not None:
+            self._process_pend(p, allow_kf=allow_kf)
+
+    def _process_pend(self, p, allow_kf: bool = True):
+        s = np.asarray(p["stats"])
+        n_inl = int(s[0])
+        if n_inl < self.cfg.min_inliers_track:
+            self._handle_lost(p, s)
+            return
+        self.state = self.OK
+        self.metrics.append(
+            {"frame": p["frame_id"] + 1, "inliers": n_inl, "lost": False}
+        )
+        self.trajectory.append(
+            (p["frame_id"], p["ts"], p["ref_kf"], s[11:18].astype(np.float32))
+        )
+        if (
+            allow_kf
+            and not self.only_tracking
+            and self._need_kf_fast(p, n_inl, s)
+        ):
+            self._insert_keyframe_fast(p, n_inl)
+
+    def _handle_lost(self, p, s):
+        """Deferred-lost handling: by the time frame i-1's stats reveal a
+        tracking failure, frame i is already in flight — its device-side
+        ok-gate kept the pose unchanged, so both frames are recorded lost
+        and relocalization runs on the NEWEST features (the reference
+        relocalizes every frame while LOST, src/Tracking.cc:320)."""
+        cfg = self.cfg
+        n_inl = int(s[0])
+        young = self._pend
+        self._pend = None
+
+        def record(fid, ts, ref, t_rel, inl):
+            self.metrics.append({"frame": fid + 1, "inliers": inl, "lost": True})
+            self.trajectory.append((fid, ts, ref, np.asarray(t_rel, np.float32)))
+
+        # lost right after a weak mono init -> start over
+        # (reference src/Tracking.cc:472-480)
+        if cfg.sensor == "mono" and self._n_kf_host <= 5:
+            record(p["frame_id"], p["ts"], p["ref_kf"], s[11:18], n_inl)
+            if young is not None:
+                ys = np.asarray(young["stats"])
+                record(young["frame_id"], young["ts"], young["ref_kf"],
+                       ys[11:18], int(ys[0]))
+            self.reset()
+            return
+        self.state = self.LOST
+        self.velocity = lie.se3_identity()
+        self._ref_anchor = None
+        record(p["frame_id"], p["ts"], p["ref_kf"], s[11:18], n_inl)
+        feats = p["feats"]
+        if young is not None:
+            ys = np.asarray(young["stats"])
+            record(young["frame_id"], young["ts"], young["ref_kf"],
+                   ys[11:18], int(ys[0]))
+            self.T_cw = young["T"]
+            feats = young["feats"]
+        if self._relocalize(feats):
+            self.state = self.OK
+            self.frames_since_reloc = 0
+
+    def _consume_map_aux(self, block: bool) -> bool:
+        """Consume the in-flight mapping pipeline's aux vector when ready
+        (or forcibly). Returns True when mapping is idle afterwards —
+        this readiness check is the TPU equivalent of the reference's
+        LocalMapping::AcceptKeyFrames flag (src/LocalMapping.cc:603-613,
+        read by Tracking::NeedNewKeyFrame at src/Tracking.cc:999)."""
+        a = self._map_aux
+        if a is None:
+            return True
+        if not block:
+            try:
+                if not a.is_ready():
+                    return False
+            except Exception:
+                pass
+        v = np.asarray(a)
+        self._n_ref_vals = {2: max(int(v[2]), 1), 3: max(int(v[3]), 1)}
+        self._n_pt_est = int(v[1])
+        self._kf_live = int(v[4])
+        self._map_aux = None
+        return True
+
+    def _n_ref_current(self) -> int:
+        min_obs = 3 if self._n_kf_host > 2 else 2
+        return max(self._n_ref_vals.get(min_obs, 1), 1)
+
+    def _need_kf_fast(self, p, n_inl, s) -> bool:
+        """NeedNewKeyFrame (src/Tracking.cc:977-1061) with the REAL
+        mapping-idle gate: c1b requires the in-flight mapping dispatch to
+        have completed (plus the kf_idle_frames floor for determinism);
+        forced insertions (c1a/c1c) first drain mapping — the analogue of
+        the reference's InterruptBA + queue (src/Tracking.cc:1046-1059)."""
+        cfg = self.cfg
+        since = p["frame_id"] - self.last_kf_frame
+        idle = self._consume_map_aux(block=False)
+
+        c1a = since >= cfg.max_frames_between_kf
+        if c1a and not idle:
+            idle = self._consume_map_aux(block=True)
+        n_ref = self._n_ref_current()
+        need_close = False
+        if cfg.sensor in ("stereo", "rgbd"):
+            need_close = (s[2] < cfg.kf_close_tracked_th) and (
+                s[3] > cfg.kf_close_untracked_th
+            )
+        c1c = cfg.sensor != "mono" and (n_inl < 0.25 * n_ref or need_close)
+        if c1c and not idle:
+            idle = self._consume_map_aux(block=True)
+            n_ref = self._n_ref_current()
+        c1b = idle and since >= max(
+            cfg.min_frames_between_kf, cfg.kf_idle_frames, 1
+        )
+        ratio = cfg.kf_stereo_ref_ratio
+        if self._n_kf_host < 2:
+            ratio = 0.4
+        if cfg.sensor == "mono":
+            ratio = cfg.kf_ref_ratio
+        c2 = (
+            n_inl < ratio * n_ref or need_close
+        ) and n_inl > cfg.min_inliers_kf
+        # anti-starvation: when the forced cadence (c1a = mMaxFrames
+        # elapsed) fires and tracking is healthy enough to seed a
+        # keyframe, insert even if the inlier-ratio part of c2 is
+        # borderline false — with n_inl hovering at ~ratio*n_ref (seen
+        # post-loop-closure: 40 vs 0.9*44) the strict reference gate
+        # never inserts again and the map starves. Deliberate small
+        # deviation from src/Tracking.cc:1045.
+        if c1a and n_inl > cfg.min_inliers_kf:
+            c2 = True
+        return bool((c1a or c1b or c1c) and c2)
+
+    def _protect_mask(self):
+        K = int(self.map.kf_valid.shape[0])
+        pm = np.zeros((K,), bool)
+        if self.loop_closer is not None:
+            for i, j in self.loop_closer.loop_edges:
+                pm[i] = True
+                pm[j] = True
+        return pm  # numpy: transferred with the jit args, no eager op
+
+    def _ensure_capacity_fast(self, p):
+        """Host-estimate capacity check: zero device fetches in the
+        steady state. When the estimate says a pool might fill within one
+        keyframe's worth of insertions, drain the pipeline once and run
+        the exact (fetching) _ensure_capacity."""
+        cfg = self.cfg
+        P = int(self.map.pt_pos.shape[0])
+        K = int(self.map.kf_valid.shape[0])
+        N = cfg.map.n_features
+        if self._n_pt_est + 3 * N < P and self._n_kf_host + 2 < K:
+            return
+        self._flush(allow_kf=False)
+        self._consume_map_aux(block=True)
+        self._extra_obs_holders = [p]
+        try:
+            self._ensure_capacity()
+        finally:
+            self._extra_obs_holders = []
+        self._n_pt_est = int(self.map.n_pt)
+        self._n_kf_host = int(self.map.n_kf)
+        self._kf_live = int(np.asarray(self.map.kf_valid).sum())
+
+    def _insert_keyframe_fast(self, p, n_inl):
+        """Keyframe insertion on the fast path: ONE async dispatch for
+        insert + the whole mapping pipeline (_insert_and_map); the aux
+        vector is prefetched and consumed by later keyframe decisions.
+        The tracker keeps its own current pose — BA refinements flow
+        through the map, as in the reference (the mapping thread never
+        rewrites the camera thread's pose)."""
+        cfg = self.cfg
+        self._ensure_capacity_fast(p)
+        slot = self._n_kf_host
+        m2, aux = _insert_and_map(
+            self.map,
+            p["feats"],
+            p["T"],
+            np.int32(p["frame_id"]),
+            np.int32(self.ref_kf),
+            p["obs"],
+            self._protect_mask(),
+            self._inv_sigma2,
+            cfg.frontend,
+            cfg.sensor,
+            cfg.local_ba_window,
+        )
+        try:
+            aux.copy_to_host_async()
+        except Exception:
+            pass
+        self.map = m2
+        self._map_aux = aux
+        self._n_kf_host += 1
+        self._kf_live += 1
+        # until aux lands, bound the pool usage by the per-KF maximum
+        self._n_pt_est += 2 * cfg.map.n_features
+        self.ref_kf = slot
+        self.ref_kf_matches = n_inl
+        self.last_kf_frame = p["frame_id"]
+        self.n_kfs_created += 1
+        self._n_ref_cache = None
+        # the chain last saw the new ref KF at its INSERT pose; the
+        # pipeline's local BA refinement lands via the next frame's
+        # re-anchor correction
+        self._ref_anchor = p["T"]
+
+        self._maybe_train_vocab(p["feats"])
+        if self.loop_closer is not None:
+            self.loop_closer.add_keyframe_from_map(m2, slot)
+        if cfg.enable_loop_closing and self.loop_closer is not None:
+            self._run_loop_closing(slot)
+        if self.quadrics is not None and p["detections"] is not None:
+            self.quadrics.add_keyframe_detections(
+                self.map, slot, p["detections"]
+            )
+            self.quadrics.try_initialize(self.map)
+            if any(l.initialized for l in self.quadrics.landmarks):
+                self.map = self.quadrics.joint_ba(self.map, self._inv_sigma2)
+
+    def _run_loop_closing(self, slot: int):
+        """Loop detection with one-keyframe latency: the database scores
+        + covisibility needed by DetectLoop are dispatched and PREFETCHED
+        at insertion, consumed at the next keyframe — the reference's
+        loop thread likewise consumes keyframes from a queue after the
+        fact (src/LoopClosing.cc:57-95)."""
+        cfg = self.cfg
+        pend = self._pending_loop
+        self._pending_loop = None
+        if pend is not None:
+            pslot, prep = pend
+            for cand in self.loop_closer.finish_detect(prep):
+                self.map, ok = self.loop_closer.attempt_close(
+                    self.map, pslot, cand, cfg.frontend.K,
+                    n_levels=cfg.frontend.n_levels,
+                    scale=cfg.frontend.scale_factor,
+                    height=cfg.frontend.height,
+                    width=cfg.frontend.width,
+                    fix_scale=cfg.sensor != "mono",
+                )
+                if ok:
+                    self.n_loops_closed += 1
+                    self._big_change_idx += 1
+                    if cfg.async_gba:
+                        self._launch_global_ba(pslot)
+                    else:
+                        self.map, _ = lm.run_global_ba(
+                            self.map, cfg.frontend.K,
+                            jnp.asarray(cfg.frontend.bf), self._inv_sigma2,
+                            n_iters=10,
+                        )
+                    break
+        prep = self.loop_closer.prepare_detect(
+            self.map, slot, self._kf_live
+        )
+        if prep is not None:
+            self._pending_loop = (slot, prep)
+
+    def _refresh_host_counters(self):
+        """Sync-path hook: keep the fast path's host mirrors exact after
+        any synchronous map mutation (init, sync keyframe insert)."""
+        self._n_kf_host = int(self.map.n_kf)
+        self._kf_live = int(np.asarray(self.map.kf_valid).sum())
+        self._n_pt_est = int(self.map.n_pt)
+        self._n_ref_cache = None
+        self._ref_anchor = None  # re-derived on the next fast frame
+        self._n_ref_vals = {
+            2: max(self._ref_kf_tracked(2), 1),
+            3: max(self._ref_kf_tracked(3), 1),
+        }
 
     # ------------------------------------------------------------------
 
@@ -652,13 +1024,22 @@ class System:
 
     def _remap_point_ids(self, new_idx, old_valid):
         """Point-id fixup after compact_points for ids held outside the
-        MapState (frame observations, quadric landmark member sets)."""
+        MapState (frame observations, quadric landmark member sets, the
+        pipelined frame awaiting insertion)."""
         P = len(old_valid)
-        po = np.asarray(self.prev_obs)
-        ok = (po >= 0) & old_valid[np.clip(po, 0, P - 1)]
-        self.prev_obs = jnp.asarray(
-            np.where(ok, new_idx[np.clip(po, 0, P - 1)], -1), jnp.int32
-        )
+
+        def remap(obs):
+            po = np.asarray(obs)
+            ok = (po >= 0) & old_valid[np.clip(po, 0, P - 1)]
+            return jnp.asarray(
+                np.where(ok, new_idx[np.clip(po, 0, P - 1)], -1), jnp.int32
+            )
+
+        self.prev_obs = remap(self.prev_obs)
+        if self._pend is not None:
+            self._pend["obs"] = remap(self._pend["obs"])
+        for holder in self._extra_obs_holders:
+            holder["obs"] = remap(holder["obs"])
         if self.quadrics is not None:
             for lmk in self.quadrics.landmarks:
                 lmk.point_ids = {
@@ -744,9 +1125,7 @@ class System:
         # src/System.cc:64-88, src/Tracking.cc:1341-1502) ---
         self._maybe_train_vocab(feats)
         if self.loop_closer is not None:
-            self.loop_closer.add_keyframe(
-                slot, self.map.kf_desc[slot], self.map.kf_kp_valid[slot]
-            )
+            self.loop_closer.add_keyframe_from_map(self.map, slot)
         # --- loop closing ---
         if cfg.enable_loop_closing:
             if self.loop_closer is not None:
@@ -788,6 +1167,7 @@ class System:
         # adopt the BA-refined pose + surviving observations
         self.T_cw = self.map.kf_pose[slot]
         self.prev_obs = self.map.kf_obs_point[slot]
+        self._refresh_host_counters()
 
     # ------------------------------------------------------------------
     # async global BA (the reference's transient 4th thread:
@@ -912,6 +1292,7 @@ class System:
         self.T_cw = lie.se3_compose(
             T_rel, jnp.asarray(new_pose[self.ref_kf])
         )
+        self._ref_anchor = jnp.asarray(new_pose[self.ref_kf])
         self._big_change_idx += 1
 
     def _maybe_train_vocab(self, feats):
@@ -941,9 +1322,7 @@ class System:
         # index all existing keyframes
         for s in range(int(self.map.n_kf)):
             if bool(self.map.kf_valid[s]):
-                self.loop_closer.add_keyframe(
-                    s, self.map.kf_desc[s], self.map.kf_kp_valid[s]
-                )
+                self.loop_closer.add_keyframe_from_map(self.map, s)
         self._vocab_pool = []
 
     def _relocalize(self, feats) -> bool:
@@ -1131,6 +1510,7 @@ class System:
         self.last_kf_frame = self.frame_id
         self.velocity = lie.se3_identity()
         self.state = self.OK
+        self._refresh_host_counters()
 
     def _depth_init(self, feats, timestamp):
         """StereoInitialization (src/Tracking.cc:509-561): first frame with
@@ -1161,6 +1541,7 @@ class System:
         self.ref_kf_matches = int(jnp.sum(self.prev_obs >= 0))
         self.last_kf_frame = self.frame_id
         self.state = self.OK
+        self._refresh_host_counters()
 
     # ------------------------------------------------------------------
 
@@ -1176,6 +1557,7 @@ class System:
     def keyframe_trajectory(self):
         """(frame_id, T_cw 7-vec) per valid keyframe
         (SaveKeyFrameTrajectoryTUM, src/System.cc:383-417)."""
+        self._flush()
         out = []
         kf_valid = np.asarray(self.map.kf_valid)
         kf_pose = np.asarray(self.map.kf_pose)
@@ -1190,6 +1572,7 @@ class System:
         walking the spanning tree past culled reference keyframes with
         their frozen T_child_parent (SaveTrajectoryTUM logic,
         src/System.cc:322-380; the while(pKF->isBad()) walk at :361-368)."""
+        self._flush()
         out = []
         kf_pose = np.asarray(self.map.kf_pose)
         kf_valid = np.asarray(self.map.kf_valid)
@@ -1279,6 +1662,208 @@ def _bump_stats(m: ms.MapState, visible, found):
     # objects for every leaf every frame)
     pv, pf = _bump_stats_arrays(m.pt_visible, m.pt_found, visible, found)
     return m._replace(pt_visible=pv, pt_found=pf)
+
+
+from functools import partial
+
+# eager calls of observation_matrix pay per-op tunnel dispatches; the
+# System rebuilds it at keyframe rate through this jit
+_observation_matrix_jit = jax.jit(ms.observation_matrix)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("fcfg", "sensor", "min_inl", "n_local_kf", "n_local_pt",
+                     "depth_factor"),
+)
+def _frame_step(
+    m: ms.MapState,
+    obs_A,
+    img,
+    aux_img,
+    T_cw,
+    velocity,
+    prev_obs,
+    ref_kf,
+    ref_anchor,
+    fcfg,
+    sensor: str,
+    min_inl: int,
+    n_local_kf: int,
+    n_local_pt: int,
+    depth_factor: float = 1.0,
+):
+    """The whole per-frame hot path as ONE device program: extraction,
+    guided matching, both pose optimizations, tracking-stat bumps, the
+    keyframe-decision census, and the trajectory anchor — the
+    single-dispatch equivalent of the reference's one-function-call
+    frame (Tracking::Track, src/Tracking.cc:267-506).
+
+    Returns (feats, T_new, vel_new, obs_new, pt_visible, pt_found,
+    stats[18]) where stats packs every scalar the host needs:
+    [n_inliers, n_matches, n_close_tracked, n_close_nontracked,
+    T_new(7), T_rel(7)]. The host prefetches stats with
+    ``copy_to_host_async`` and reads them one frame later, so the
+    steady-state loop never blocks on the device (VERDICT r03 #2: the
+    previous host loop paid ~9 blocking scalar fetches per frame)."""
+    if sensor == "mono":
+        feats = fe.extract_mono(fcfg, img)
+    elif sensor == "rgbd":
+        feats = fe.extract_rgbd(fcfg, img, aux_img * depth_factor)
+    else:
+        feats = fe.extract_stereo(fcfg, img, aux_img)
+
+    # re-anchor the live pose on the reference keyframe: ``ref_anchor``
+    # is the ref KF's pose as the tracking chain last saw it; any change
+    # since (local BA per keyframe, loop-closure essential graph, GBA)
+    # is applied as T_cw <- (T_cw o anchor^-1) o pose_now. The reference
+    # gets the same effect implicitly by optimizing against the mutated
+    # map under mMutexMapUpdate each frame (src/Tracking.cc:277); with
+    # an immutable snapshot pipeline the correction must be explicit —
+    # without it, BA refinements never reach the tracker and drift
+    # accumulates (observed: EVAL ATE 1.6% -> 9.3% when this was
+    # dropped in the first fast-path version).
+    T_ref_now = m.kf_pose[ref_kf]
+    T_cw = lie.se3_compose(
+        lie.se3_compose(T_cw, lie.se3_inverse(ref_anchor)), T_ref_now
+    )
+
+    T_pred = lie.se3_compose(velocity, T_cw)
+    res = tr.track_frame(
+        m, feats, T_pred, prev_obs, fcfg.K, jnp.asarray(fcfg.bf),
+        height=fcfg.height, width=fcfg.width, n_levels=fcfg.n_levels,
+        scale=fcfg.scale_factor, n_local_kf=n_local_kf,
+        n_local_pt=n_local_pt, obs_A=obs_A,
+    )
+    ok = res.n_inliers >= min_inl
+    T_new = jnp.where(ok, res.T_cw, T_cw)
+    vel_new = jnp.where(
+        ok, lie.se3_compose(res.T_cw, lie.se3_inverse(T_cw)),
+        lie.se3_identity(),
+    )
+    obs_new = jnp.where(ok, res.obs_point, -1)
+    pt_visible = m.pt_visible + (res.visible_pt & ok).astype(jnp.int32)
+    pt_found = m.pt_found + (res.found_pt & ok).astype(jnp.int32)
+
+    # close-point census for the stereo/RGB-D keyframe decision
+    # (src/Tracking.cc:1002-1019)
+    if sensor in ("stereo", "rgbd"):
+        close_th = fcfg.depth_th * fcfg.bf / max(fcfg.fx, 1e-6)
+        close = feats.valid & (feats.depth > 0) & (feats.depth < close_th)
+        n_tc = jnp.sum(close & (obs_new >= 0)).astype(jnp.float32)
+        n_nc = jnp.sum(close & (obs_new < 0)).astype(jnp.float32)
+    else:
+        n_tc = jnp.float32(0.0)
+        n_nc = jnp.float32(0.0)
+
+    T_rel = lie.se3_compose(T_new, lie.se3_inverse(T_ref_now))
+    stats = jnp.concatenate([
+        jnp.stack([
+            res.n_inliers.astype(jnp.float32),
+            res.n_matches.astype(jnp.float32),
+            n_tc,
+            n_nc,
+        ]),
+        T_new,
+        T_rel,
+    ])
+    return feats, T_new, vel_new, obs_new, pt_visible, pt_found, stats, T_ref_now
+
+
+@partial(
+    jax.jit,
+    static_argnames=("fcfg", "sensor", "window", "quality"),
+)
+def _insert_and_map(
+    m: ms.MapState,
+    feats,
+    T_cw,
+    frame_id,
+    parent,
+    obs_row,
+    protect,
+    inv_sigma2,
+    fcfg,
+    sensor: str,
+    window: int,
+    quality: int = 0,
+):
+    """Keyframe insertion + the WHOLE LocalMapping pipeline as one device
+    program (reference LocalMapping::Run order, src/LocalMapping.cc:47-112:
+    ProcessNewKeyFrame -> MapPointCulling -> CreateNewMapPoints ->
+    SearchInNeighbors -> LocalBA -> KeyFrameCulling). Dispatched
+    asynchronously at keyframe rate, it overlaps with the tracking steps
+    queued behind it exactly as the reference's mapping thread overlaps
+    the camera thread — JAX's dataflow queue replaces the KF queue +
+    mutexes (SURVEY.md §7 'versioned immutable map snapshots').
+
+    Returns (m2, aux[6]) with aux = [n_new_points, n_pt, n_ref_minobs2,
+    n_ref_minobs3, n_kf_live, n_pt_live]; the host prefetches aux — its
+    readiness IS the reference's AcceptKeyFrames backpressure flag
+    (src/LocalMapping.cc:603-613), and its values feed the next keyframe
+    decision (TrackedMapPoints, capacity bookkeeping) without any
+    blocking device fetch."""
+    Kc, bf = fcfg.K, jnp.asarray(fcfg.bf)
+    sf = orb.scale_factors(fcfg.n_levels, fcfg.scale_factor)[0]
+    m, slot = ms.insert_keyframe(
+        m, T_cw, frame_id,
+        feats.uv_und, feats.ur, feats.level, feats.angle, feats.desc,
+        feats.valid, obs_row, parent,
+    )
+    if sensor in ("stereo", "rgbd"):
+        m = _create_depth_points(m, slot, feats, Kc, bf, fcfg.depth_th)
+    m = lm.cull_points(m)
+    # covisibility built TWICE per pass, exactly like the reference
+    # (UpdateConnections at ProcessNewKeyFrame and after SearchInNeighbors,
+    # src/LocalMapping.cc:164,521) — each build is a [K*P] scatter + MXU
+    # matmul, so the pre-fuse stages share one and the post-fuse stages
+    # share the other
+    W1 = ms.covisibility(m)
+    m, n_new = lm.create_new_points(
+        m, slot, Kc, bf, n_levels=fcfg.n_levels, scale=fcfg.scale_factor,
+        W=W1,
+    )
+    # stats BEFORE fuse (fresh points need real scale bands for the
+    # distance-predicted octave gates, src/MapPoint.cc:330-371); the
+    # LOCAL variant touches only the neighborhood's points — the
+    # reference likewise refreshes only affected MapPoints. Its one-hot
+    # [L, K*N] MXU contraction is a TPU-only win: XLA:CPU materializes
+    # the one-hot (~1 GB at eval scale), so CPU runs keep the
+    # segment-sum full-pool path (trace-time host decision).
+    local_ok = jax.default_backend() != "cpu"
+
+    def _stats(mm, W):
+        if local_ok:
+            return ms.update_point_stats_local(mm, sf, slot, W=W)
+        return ms.update_point_stats(mm, sf)
+
+    m = _stats(m, W1)
+    m = lm.fuse_neighbors(
+        m, slot, Kc, height=fcfg.height, width=fcfg.width,
+        n_levels=fcfg.n_levels, scale=fcfg.scale_factor, W=W1,
+    )
+    W2 = ms.covisibility(m)
+    m = _stats(m, W2)
+    m, _ = lm.run_local_ba(
+        m, slot, Kc, bf, inv_sigma2, window=window, W=W2,
+    )
+    m = lm.cull_keyframes(m, slot, protect, W=W2)
+
+    obs_cnt = ms.point_obs_count(m)
+    P = m.pt_pos.shape[0]
+    row = m.kf_obs_point[slot]
+    cnt = obs_cnt[jnp.clip(row, 0, P - 1)]
+    n_ref2 = jnp.sum((row >= 0) & (cnt >= 2))
+    n_ref3 = jnp.sum((row >= 0) & (cnt >= 3))
+    aux = jnp.stack([
+        n_new.astype(jnp.float32),
+        m.n_pt.astype(jnp.float32),
+        n_ref2.astype(jnp.float32),
+        n_ref3.astype(jnp.float32),
+        jnp.sum(m.kf_valid).astype(jnp.float32),
+        jnp.sum(m.pt_valid).astype(jnp.float32),
+    ])
+    return m, aux
 
 
 @jax.jit

@@ -77,6 +77,20 @@ def residual_and_jacobians(T_cw, K, bf, p_world, obs_uvr):
     return e, Jc, Jp, z
 
 
+def residual_only(T_cw, K, bf, p_world, obs_uvr):
+    """Residual + depth without Jacobians — for cost-only evaluations
+    (the LM accept/reject test re-evaluates cost at the candidate state;
+    computing Jc/Jp there wastes ~3x the work)."""
+    pc = lie.se3_apply(T_cw, p_world)
+    x, y, z = pc[0], pc[1], pc[2]
+    zs = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+    iz = 1.0 / zs
+    u = K[0] * x * iz + K[2]
+    v = K[1] * y * iz + K[3]
+    ur = u - bf * iz
+    return obs_uvr - jnp.stack([u, v, ur]), z
+
+
 def chi2_of(e, is_stereo, inv_sigma2):
     """Per-observation chi2 with the stereo row masked off for mono."""
     row_w = jnp.stack(

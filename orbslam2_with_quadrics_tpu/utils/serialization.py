@@ -29,6 +29,10 @@ def save_system(path: str, slam) -> None:
     SaveMap TODO, include/System.h:115-117, extended to a full resume)."""
     import pickle
 
+    # drain the pipelined frame + in-flight mapping dispatch so the
+    # checkpoint captures a consistent post-processing state
+    slam._flush()
+    slam._consume_map_aux(block=True)
     state = {
         "map": {k: np.asarray(v) for k, v in slam.map._asdict().items()},
         "state": slam.state,
@@ -68,9 +72,13 @@ def save_system(path: str, slam) -> None:
         else:
             state["bow"] = np.asarray(lcs.bow)
         # embed the vocabulary only when it was trained on-the-fly for
-        # this run; a pretrained asset/ORBvoc is reloaded from its path
-        # by the receiving System's config
-        if isinstance(lcs.voc, Vocabulary):
+        # this run; a pretrained vocabulary (the shipped .npz asset or an
+        # ORBvoc .txt) is reloaded from its path by the receiving
+        # System's config — provenance, not type, decides (the pretrained
+        # .npz also loads as a Vocabulary NamedTuple; ADVICE r03)
+        if isinstance(lcs.voc, Vocabulary) and (
+            lcs.voc is not getattr(slam, "_pretrained_voc", None)
+        ):
             state["vocab"] = {
                 "k": lcs.voc.k,
                 "levels": lcs.voc.levels,
@@ -143,3 +151,9 @@ def load_system(path: str, slam) -> None:
             lcs.loop_edges = [tuple(e) for e in state.get("loop_edges", [])]
             lcs.last_loop_kf = state.get("last_loop_kf", -999)
             slam.loop_closer = lcs
+    # fast-path host mirrors must reflect the restored map
+    slam._pend = None
+    slam._map_aux = None
+    slam._pending_loop = None
+    if slam.state == slam.OK:
+        slam._refresh_host_counters()

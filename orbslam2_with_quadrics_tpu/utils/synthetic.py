@@ -319,8 +319,13 @@ def planar_sequence_stereo(
     return imgs_l, imgs_r, poses, K
 
 
-def planar_depth(pose_T_cw, K, h, w):
-    """Exact depth map of the z=0 plane for RGB-D tests."""
+def planar_depth(pose_T_cw, K, h, w, relief=False, relief_half=1.2,
+                 relief_z=0.8):
+    """Exact depth map of the scene for RGB-D tests: the z=0 plane plus,
+    with ``relief=True``, the raised platform (z=relief_z over the
+    central [-relief_half, relief_half]^2) that the renderers draw — the
+    depth image must agree pixel-for-pixel with the RGB render or RGB-D
+    back-projection seeds wrong points."""
     R = pose_T_cw[:3, :3]
     t = pose_T_cw[:3, 3]
     fx, fy, cx, cy = K
@@ -328,14 +333,114 @@ def planar_depth(pose_T_cw, K, h, w):
     rays = np.stack(
         [(xs - cx) / fx, (ys - cy) / fy, np.ones_like(xs, np.float64)], axis=-1
     )
-    # world ray dir = R^T d; origin C = -R^T t; z=0 => depth lam solves
-    # (C + lam * R^T d).z = 0 along *camera* z: depth = z_cam of the hit
+    # world ray dir = R^T d; origin C = -R^T t; z=zp => lam solves
+    # (C + lam * R^T d).z = zp along *camera* z: depth = z_cam of the hit
     d_w = rays @ R  # [h,w,3] (R^T applied to each ray)
     C = -R.T @ t
-    lam = -C[2] / np.where(np.abs(d_w[..., 2]) < 1e-9, 1e-9, d_w[..., 2])
-    depth = lam  # camera-frame z of intersection = lam * d_cam.z = lam
+    dz = np.where(np.abs(d_w[..., 2]) < 1e-9, 1e-9, d_w[..., 2])
+    lam = (0.0 - C[2]) / dz
     depth = np.where(lam > 0, lam, 0.0)
+    if relief:
+        lam_r = (relief_z - C[2]) / dz
+        hit = C[None, None, :] + lam_r[..., None] * d_w
+        on_platform = (
+            (lam_r > 0)
+            & (np.abs(hit[..., 0]) <= relief_half)
+            & (np.abs(hit[..., 1]) <= relief_half)
+        )
+        depth = np.where(on_platform, lam_r, depth)
     return depth.astype(np.float32)
+
+
+def write_tum_sequence(
+    out_dir: str,
+    n_frames: int = 120,
+    h: int = 240,
+    w: int = 320,
+    fx: float = 260.0,
+    seed: int = 0,
+    motion: str = "strafe",
+    plane_half: float = 3.0,
+    sensor: str = "mono",
+    n_features: int = 600,
+    depth_factor: float = 5000.0,
+    fps: float = 30.0,
+):
+    """Write a synthetic sequence to disk in the TUM RGB-D dataset layout
+    the reference drivers consume (Examples/Monocular/mono_tum.cc:36-132,
+    Examples/RGB-D/rgbd_tum.cc): ``rgb/*.png`` + ``rgb.txt``,
+    ``groundtruth.txt`` (T_wc, 'ts tx ty tz qx qy qz qw'), a reference-
+    format settings YAML, and for ``sensor='rgbd'`` also ``depth/*.png``
+    (16-bit, ``depth_factor`` counts per meter, TUM's 5000) +
+    ``depth.txt`` + ``associations.txt``.
+
+    Exists so the example drivers — the reference's only integration
+    surface — can run end-to-end in CI without network datasets.
+    Returns (settings_path, out_dir)."""
+    import os
+
+    from .trajectory import _R_to_quat
+
+    os.makedirs(os.path.join(out_dir, "rgb"), exist_ok=True)
+    if sensor == "rgbd":
+        os.makedirs(os.path.join(out_dir, "depth"), exist_ok=True)
+    K4 = np.array([fx, fx, w / 2.0, h / 2.0])
+    stream = planar_stream(
+        n_frames=n_frames, h=h, w=w, fx=fx, fy=fx, seed=seed, motion=motion,
+        plane_half=plane_half, relief=True, noise=4.0,
+    )
+    rgb_lines, depth_lines, assoc_lines, gt_lines = [], [], [], []
+    for i, (img, T_cw) in enumerate(stream):
+        ts = i / fps
+        name = f"{ts:.6f}.png"
+        cv2.imwrite(
+            os.path.join(out_dir, "rgb", name),
+            np.clip(img, 0, 255).astype(np.uint8),
+        )
+        rgb_lines.append(f"{ts:.6f} rgb/{name}")
+        if sensor == "rgbd":
+            d = planar_depth(T_cw, K4, h, w, relief=True)
+            d16 = np.clip(d * depth_factor, 0, 65535).astype(np.uint16)
+            cv2.imwrite(os.path.join(out_dir, "depth", name), d16)
+            depth_lines.append(f"{ts:.6f} depth/{name}")
+            assoc_lines.append(f"{ts:.6f} rgb/{name} {ts:.6f} depth/{name}")
+        # TUM groundtruth is T_wc (camera pose in world)
+        R_wc = T_cw[:3, :3].T
+        C = -R_wc @ T_cw[:3, 3]
+        qx, qy, qz, qw = _R_to_quat(R_wc)
+        gt_lines.append(
+            f"{ts:.6f} {C[0]:.6f} {C[1]:.6f} {C[2]:.6f} "
+            f"{qx:.6f} {qy:.6f} {qz:.6f} {qw:.6f}"
+        )
+    hdr = "# synthetic TUM-format sequence\n# timestamp filename\n"
+    with open(os.path.join(out_dir, "rgb.txt"), "w") as f:
+        f.write(hdr + "\n".join(rgb_lines) + "\n")
+    with open(os.path.join(out_dir, "groundtruth.txt"), "w") as f:
+        f.write(
+            "# ground truth trajectory\n# timestamp tx ty tz qx qy qz qw\n"
+            + "\n".join(gt_lines) + "\n"
+        )
+    if sensor == "rgbd":
+        with open(os.path.join(out_dir, "depth.txt"), "w") as f:
+            f.write(hdr + "\n".join(depth_lines) + "\n")
+        with open(os.path.join(out_dir, "associations.txt"), "w") as f:
+            f.write("\n".join(assoc_lines) + "\n")
+    settings_path = os.path.join(out_dir, "settings.yaml")
+    with open(settings_path, "w") as f:
+        f.write(
+            "%YAML:1.0\n"  # reference-format directive (stripped by loader)
+            f"Camera.fx: {fx}\nCamera.fy: {fx}\n"
+            f"Camera.cx: {w / 2.0}\nCamera.cy: {h / 2.0}\n"
+            "Camera.k1: 0.0\nCamera.k2: 0.0\n"
+            "Camera.p1: 0.0\nCamera.p2: 0.0\nCamera.k3: 0.0\n"
+            f"Camera.fps: {fps}\nCamera.RGB: 1\n"
+            f"ORBextractor.nFeatures: {n_features}\n"
+            "ORBextractor.scaleFactor: 1.2\nORBextractor.nLevels: 8\n"
+            "ORBextractor.iniThFAST: 20\nORBextractor.minThFAST: 7\n"
+            "ThDepth: 40.0\n"
+            f"DepthMapFactor: {depth_factor}\n"
+        )
+    return settings_path, out_dir
 
 
 def _rot_x(a):

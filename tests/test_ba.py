@@ -174,8 +174,17 @@ def test_dense_schur_matches_pcg():
         jax.random.normal(key, (C, 6))
         * jnp.asarray([0.005] * 3 + [0.2, 0.05, 0.2])
     )
-    ci = jax.random.randint(key, (O,), 0, C)
-    pi = jax.random.randint(jax.random.PRNGKey(1), (O,), 0, P)
+    # cam-major edge table (the dense path's required layout: each
+    # camera's edges are one contiguous [N] row, like the [K,N]
+    # observation table every in-repo caller gathers from)
+    N = O // C
+    ci = jnp.repeat(jnp.arange(C, dtype=jnp.int32), N)
+    # per-camera UNIQUE point draws (the real map invariant the dense
+    # path's gather table relies on: one keypoint per point per keyframe)
+    pi = jnp.concatenate([
+        jax.random.permutation(jax.random.PRNGKey(100 + c), P)[:N]
+        for c in range(C)
+    ]).astype(jnp.int32)
     uvr, _ = camera.project_stereo(Kc, bf, lie.se3_apply(poses[ci], pts[pi]))
     prob = ba.BAProblem(
         poses=poses, points=pts + 0.03, K=Kc, bf=bf,
@@ -187,7 +196,8 @@ def test_dense_schur_matches_pcg():
         fixed_pnt=jnp.zeros((P,)),
     )
     p1, c1 = ba.ba_solve(prob, n_iters=6, cg_iters=40, use_huber=False)
-    p2, c2 = ba.ba_solve_dense(prob, n_iters=6, n_local_pts=P, use_huber=False)
+    p2, c2 = ba.ba_solve_dense(prob, n_iters=6, n_local_pts=P, use_huber=False,
+                               cam_grid=(C, N))
     assert float(c2) < 0.1 * float(
         ba._edge_terms(prob, jnp.asarray(0.0))[5]
     ), "dense LM failed to reduce cost"
@@ -216,8 +226,12 @@ def test_dense_schur_point_overflow_is_safe():
     poses = lie.se3_exp(
         jax.random.normal(key, (C, 6)) * jnp.asarray([0.004] * 3 + [0.1] * 3)
     )
-    ci = jax.random.randint(key, (O,), 0, C)
-    pi = jax.random.randint(jax.random.PRNGKey(3), (O,), 0, P)
+    N = O // C
+    ci = jnp.repeat(jnp.arange(C, dtype=jnp.int32), N)
+    pi = jnp.concatenate([
+        jax.random.permutation(jax.random.PRNGKey(300 + c), P)[:N]
+        for c in range(C)
+    ]).astype(jnp.int32)
     uvr, _ = camera.project_stereo(
         Kc, jnp.asarray(40.0), lie.se3_apply(poses[ci], pts[pi])
     )
@@ -231,5 +245,6 @@ def test_dense_schur_point_overflow_is_safe():
     )
     cost0 = float(ba._edge_terms(prob, jnp.asarray(0.0))[5])
     # only half the active points fit the dense coupling table
-    _, c = ba.ba_solve_dense(prob, n_iters=8, n_local_pts=128, use_huber=False)
+    _, c = ba.ba_solve_dense(prob, n_iters=8, n_local_pts=128, use_huber=False,
+                             cam_grid=(C, N))
     assert float(c) < 0.5 * cost0

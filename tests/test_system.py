@@ -116,6 +116,8 @@ def test_system_checkpoint_resume(planar_seq, tmp_path):
     assert int(slam2.map.n_kf) == int(slam.map.n_kf)
     for i in range(15, 25):
         slam2.track_monocular(imgs[i], timestamp=i / 30.0)
+    slam2.shutdown()  # drain the pipelined frame (reference: Shutdown
+    # must precede trajectory access, src/System.cc:301-320)
     assert slam2.state == sysm.System.OK
     assert len(slam2.trajectory) == 25
 

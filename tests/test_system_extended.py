@@ -237,9 +237,12 @@ def test_capacity_growth_and_compaction():
     cfg = sysm.SystemConfig(
         **{
             **cfg.__dict__,
-            # insert at every opportunity: this test exists to overflow
-            # the 10-slot pool, not to model mapping occupancy
+            # insert as densely as possible: this test exists to overflow
+            # the 10-slot pool, not to model mapping occupancy (c1a at
+            # every 2nd frame forces insertion past the mapping-idle
+            # backpressure gate)
             "kf_idle_frames": 1,
+            "max_frames_between_kf": 2,
             "map": ms.MapConfig(
                 max_keyframes=10, max_points=8192, n_features=512, n_levels=4
             ),
@@ -248,10 +251,12 @@ def test_capacity_growth_and_compaction():
     slam = sysm.System(cfg)
     for i in range(len(imgs)):
         slam.track_monocular(imgs[i], timestamp=i / 30.0)
+    slam.shutdown()
     assert slam.state == sysm.System.OK
-    # mapping kept going: more keyframes were created than the original
-    # pool could ever hold
-    assert slam.n_kfs_created > 10
+    # mapping kept going past the original pool: creations exceeded it
+    # and a capacity event (compaction or doubling) actually fired
+    assert slam.n_kfs_created + 2 > 10  # +2 = the two init keyframes
+    assert slam.n_kf_growths + slam.n_kf_compactions >= 1
     pool = slam.map.kf_valid.shape[0]
     assert int(slam.map.n_kf) <= pool
     traj = slam.full_trajectory()
