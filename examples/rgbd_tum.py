@@ -46,7 +46,9 @@ def main(settings_path, seq_dir, assoc, traj_out="trajectory_tum.txt"):
     times = []
     for ts, rgb_p, d_p in items_in:
         img = datasets.load_gray(rgb_p)
-        depth = cv2.imread(d_p, cv2.IMREAD_UNCHANGED).astype(np.float32)
+        # raw uint16 depth counts: DepthMapFactor scaling happens on device
+        # (cfg.depth_factor), and the uint16 upload is 2x smaller
+        depth = cv2.imread(d_p, cv2.IMREAD_UNCHANGED)
         t0 = time.perf_counter()
         slam.track_rgbd(img, depth, timestamp=ts)
         times.append(time.perf_counter() - t0)

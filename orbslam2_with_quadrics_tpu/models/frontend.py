@@ -64,6 +64,9 @@ class FrameFeatures(NamedTuple):
 
 @partial(jax.jit, static_argnames=("cfg",))
 def extract_mono(cfg: FrontendConfig, img) -> FrameFeatures:
+    # accept any integer camera dtype: the uint8 frame uploads 4x less
+    # link bandwidth than float32; the cast runs on device
+    img = img.astype(jnp.float32)
     f = orb.extract(
         img,
         n_features=cfg.n_features,
@@ -112,6 +115,8 @@ def extract_stereo(cfg: FrontendConfig, img_l, img_r) -> FrameFeatures:
     src/Frame.cc:466-640)."""
     from ..ops import stereo as stereo_ops
 
+    img_l = img_l.astype(jnp.float32)
+    img_r = img_r.astype(jnp.float32)
     fl = extract_mono(cfg, img_l)
     fr = orb.extract(
         img_r,

@@ -409,8 +409,9 @@ def fuse_neighbors(
     )
 
 
-@jax.jit
-def cull_keyframes(m: ms.MapState, kf_id, protect=None, W=None):
+@partial(jax.jit, static_argnames=("n_levels",))
+def cull_keyframes(m: ms.MapState, kf_id, protect=None, W=None,
+                   n_levels: int = 8):
     """KeyFrameCulling (src/LocalMapping.cc:632-696): a covisible keyframe
     is redundant if >=90% of its points are observed by >=3 other KFs
     *at the same or finer scale* (the reference's scaleLevel <=
@@ -425,7 +426,6 @@ def cull_keyframes(m: ms.MapState, kf_id, protect=None, W=None):
     drop its persistent loop edge from every later essential graph."""
     K, N = m.kf_obs_point.shape
     P = m.pt_pos.shape[0]
-    n_levels = 8
     if W is None:
         W = ms.covisibility(m)
     cand = (W[kf_id] > 0) & m.kf_valid
@@ -435,7 +435,10 @@ def cull_keyframes(m: ms.MapState, kf_id, protect=None, W=None):
         cand = cand & ~protect
 
     obs = m.kf_obs_point
-    has = (obs >= 0) & m.kf_kp_valid
+    # kf_valid mask: culled rows are cleared to -1 today, but the
+    # histogram must not depend on that invariant holding forever
+    # (ADVICE r04) — a stale invalid row would inflate n_others
+    has = (obs >= 0) & m.kf_kp_valid & m.kf_valid[:, None]
     # per-(point, level) observation histogram -> cumulative over level:
     # cum[p, l] = #observations of p at octave <= l (any keyframe)
     flat_p = jnp.where(has, obs, P).reshape(-1)

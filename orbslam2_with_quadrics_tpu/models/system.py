@@ -108,6 +108,17 @@ class System:
     LOST = 2
 
     def __init__(self, cfg: SystemConfig):
+        # metric sensors need bf = fx*baseline: the close-point gates are
+        # depth < ThDepth*bf/fx (reference src/Tracking.cc:134-147), so
+        # bf=0 would silently create ZERO depth points at initialization
+        # and the system would never track (seen: rgbd driver flatlined at
+        # 29.6% ATE because the settings YAML omitted Camera.bf)
+        if cfg.sensor in ("stereo", "rgbd") and not cfg.frontend.bf > 0:
+            raise ValueError(
+                f"sensor={cfg.sensor!r} requires frontend.bf > 0 "
+                "(Camera.bf in reference YAML = fx * baseline); got "
+                f"bf={cfg.frontend.bf}"
+            )
         self.cfg = cfg
         self.map = ms.empty_map(cfg.map)
         self.state = self.NOT_INITIALIZED
@@ -122,6 +133,8 @@ class System:
         self.trajectory = []  # (frame_id, timestamp, kf_slot, T_rel  np arrays)
         self.ref_kf = 0
         self.n_kfs_created = 0
+        self.n_kfs_culled = 0  # fast-path cull counter (churn metric)
+        self._debug_kf = os.environ.get("ORB_DEBUG_KF", "") == "1"
         _, _, self._inv_sigma2 = orb.scale_factors(
             cfg.frontend.n_levels, cfg.frontend.scale_factor
         )
@@ -192,6 +205,14 @@ class System:
         # frame and consumes its prefetched stats ONE FRAME LATER, so
         # the host never blocks on the device (the reference's camera
         # thread similarly never waits for mapping). See _track_fast.
+        # ORB_SYNC_TRACK=1 forces the synchronous _track path even in the
+        # OK state — the fast/sync bisect switch (the two paths must agree;
+        # eval regressions are bisected by diffing their trajectories)
+        self._force_sync = os.environ.get("ORB_SYNC_TRACK", "") == "1"
+        # bumped by reset(): lets _insert_keyframe_fast detect that a
+        # flush inside _ensure_capacity_fast reset/lost the system and the
+        # pending keyframe insertion must be abandoned (ADVICE r04 medium)
+        self._reset_gen = 0
         self._pend = None          # previous frame awaiting processing
         self._map_aux = None       # in-flight _insert_and_map aux vector;
                                    # None = mapping idle (the reference's
@@ -230,8 +251,11 @@ class System:
             "(reference System::TrackMonocular sensor check, src/System.cc:220-224)"
         )
         self._pending_detections = detections
-        img = jnp.asarray(img, jnp.float32)
-        if self.state == self.OK:
+        # keep the caller's dtype: a uint8 camera frame uploads 4x less
+        # through the host->device link than float32 (measured 49 -> 30 ms
+        # per frame on the TPU tunnel); extraction casts on device
+        img = jnp.asarray(img)
+        if self.state == self.OK and not self._force_sync:
             return self._track_fast(img, None, timestamp)
         # before initialization the reference extracts 2x the features
         # (mpIniORBextractor, src/Tracking.cc:124-125, selected at :258)
@@ -248,12 +272,13 @@ class System:
             "called track_rgbd but sensor is not rgbd (src/System.cc:169-173)"
         )
         self._pending_detections = detections
-        img = jnp.asarray(img, jnp.float32)
-        depth = jnp.asarray(depth, jnp.float32)
-        if self.state == self.OK:
+        img = jnp.asarray(img)
+        depth = jnp.asarray(depth)
+        if self.state == self.OK and not self._force_sync:
             return self._track_fast(img, depth, timestamp)
         feats = fe.extract_rgbd(
-            self.cfg.frontend, img, depth * self.cfg.depth_factor,
+            self.cfg.frontend, img,
+            depth.astype(jnp.float32) * self.cfg.depth_factor,
         )
         return self._track(feats, timestamp)
 
@@ -262,9 +287,9 @@ class System:
             "called track_stereo but sensor is not stereo (src/System.cc:118-122)"
         )
         self._pending_detections = detections
-        img_l = jnp.asarray(img_l, jnp.float32)
-        img_r = jnp.asarray(img_r, jnp.float32)
-        if self.state == self.OK:
+        img_l = jnp.asarray(img_l)
+        img_r = jnp.asarray(img_r)
+        if self.state == self.OK and not self._force_sync:
             return self._track_fast(img_l, img_r, timestamp)
         feats = fe.extract_stereo(self.cfg.frontend, img_l, img_r)
         return self._track(feats, timestamp)
@@ -366,6 +391,7 @@ class System:
         self._n_ref_vals = {2: 1, 3: 1}
         self._n_ref_cache = None
         self._ref_anchor = None
+        self._reset_gen += 1
 
     def _get_obs_A(self):
         """[K,P] binary observation matrix, cached across frames.
@@ -566,20 +592,35 @@ class System:
                        ys[11:18], int(ys[0]))
             self.reset()
             return
-        self.state = self.LOST
-        self.velocity = lie.se3_identity()
-        self._ref_anchor = None
         record(p["frame_id"], p["ts"], p["ref_kf"], s[11:18], n_inl)
         feats = p["feats"]
         if young is not None:
             ys = np.asarray(young["stats"])
+            if int(ys[0]) >= cfg.min_inliers_track:
+                # the in-flight younger frame re-tracked on its own (its
+                # device ok-gate tracked from the unchanged pose): keep it
+                # as the pipeline head instead of discarding a good frame
+                # (ADVICE r04) — the reference likewise recovers without
+                # relocalizing if the next frame's motion-model track
+                # succeeds
+                self.state = self.OK
+                self._pend = young
+                return
             record(young["frame_id"], young["ts"], young["ref_kf"],
                    ys[11:18], int(ys[0]))
             self.T_cw = young["T"]
             feats = young["feats"]
+        self.state = self.LOST
+        self.velocity = lie.se3_identity()
+        self._ref_anchor = None
         if self._relocalize(feats):
             self.state = self.OK
             self.frames_since_reloc = 0
+            # reloc-tagged metric for parity with the sync path's
+            # {'reloc': True} entry (ADVICE r04)
+            self.metrics.append(
+                {"frame": self.frame_id, "inliers": -1, "reloc": True}
+            )
 
     def _consume_map_aux(self, block: bool) -> bool:
         """Consume the in-flight mapping pipeline's aux vector when ready
@@ -600,6 +641,14 @@ class System:
         self._n_ref_vals = {2: max(int(v[2]), 1), 3: max(int(v[3]), 1)}
         self._n_pt_est = int(v[1])
         self._kf_live = int(v[4])
+        if len(v) > 6 and int(v[6]) >= 0:
+            self.n_kfs_culled += 1
+            if self._debug_kf:
+                print(
+                    f"[kf] cull slot={int(v[6])} live={int(v[4])} "
+                    f"n_ref3={int(v[3])}",
+                    file=__import__('sys').stderr, flush=True,
+                )
         self._map_aux = None
         return True
 
@@ -650,7 +699,17 @@ class System:
         # deviation from src/Tracking.cc:1045.
         if c1a and n_inl > cfg.min_inliers_kf:
             c2 = True
-        return bool((c1a or c1b or c1c) and c2)
+        want = bool((c1a or c1b or c1c) and c2)
+        if self._debug_kf and want:
+            import sys as _sys
+
+            print(
+                f"[kf] insert frame={p['frame_id']} since={since} "
+                f"n_inl={n_inl} n_ref={n_ref} c1a={c1a} c1b={c1b} "
+                f"c1c={c1c} need_close={need_close}",
+                file=_sys.stderr, flush=True,
+            )
+        return want
 
     def _protect_mask(self):
         K = int(self.map.kf_valid.shape[0])
@@ -691,7 +750,14 @@ class System:
         through the map, as in the reference (the mapping thread never
         rewrites the camera thread's pose)."""
         cfg = self.cfg
+        gen = self._reset_gen
         self._ensure_capacity_fast(p)
+        # the capacity path may have flushed the younger in-flight frame;
+        # if that frame was LOST the flush can reset the whole system
+        # (mono weak-init) or enter relocalization — inserting the stale
+        # keyframe into that state would corrupt the map (ADVICE r04)
+        if self.state != self.OK or gen != self._reset_gen:
+            return
         slot = self._n_kf_host
         m2, aux = _insert_and_map(
             self.map,
@@ -1117,7 +1183,10 @@ class System:
                 pm[i] = True
                 pm[j] = True
             protect = jnp.asarray(pm)
-        self.map = lm.cull_keyframes(self.map, jnp.asarray(slot), protect)
+        self.map = lm.cull_keyframes(
+            self.map, jnp.asarray(slot), protect,
+            n_levels=cfg.frontend.n_levels,
+        )
 
         # --- place recognition database (always maintained: the reference
         # always loads the vocabulary and populates the KeyFrameDatabase —
@@ -1709,7 +1778,9 @@ def _frame_step(
     if sensor == "mono":
         feats = fe.extract_mono(fcfg, img)
     elif sensor == "rgbd":
-        feats = fe.extract_rgbd(fcfg, img, aux_img * depth_factor)
+        feats = fe.extract_rgbd(
+            fcfg, img, aux_img.astype(jnp.float32) * depth_factor
+        )
     else:
         feats = fe.extract_stereo(fcfg, img, aux_img)
 
@@ -1847,7 +1918,8 @@ def _insert_and_map(
     m, _ = lm.run_local_ba(
         m, slot, Kc, bf, inv_sigma2, window=window, W=W2,
     )
-    m = lm.cull_keyframes(m, slot, protect, W=W2)
+    valid_before = m.kf_valid
+    m = lm.cull_keyframes(m, slot, protect, W=W2, n_levels=fcfg.n_levels)
 
     obs_cnt = ms.point_obs_count(m)
     P = m.pt_pos.shape[0]
@@ -1855,6 +1927,9 @@ def _insert_and_map(
     cnt = obs_cnt[jnp.clip(row, 0, P - 1)]
     n_ref2 = jnp.sum((row >= 0) & (cnt >= 2))
     n_ref3 = jnp.sum((row >= 0) & (cnt >= 3))
+    # churn observability: which slot (if any) this pass culled
+    gone = valid_before & ~m.kf_valid
+    culled_slot = jnp.where(jnp.any(gone), jnp.argmax(gone), -1)
     aux = jnp.stack([
         n_new.astype(jnp.float32),
         m.n_pt.astype(jnp.float32),
@@ -1862,6 +1937,7 @@ def _insert_and_map(
         n_ref3.astype(jnp.float32),
         jnp.sum(m.kf_valid).astype(jnp.float32),
         jnp.sum(m.pt_valid).astype(jnp.float32),
+        culled_slot.astype(jnp.float32),
     ])
     return m, aux
 

@@ -100,12 +100,14 @@ def load_euroc_stereo(seq_dir: str):
 
 
 def load_gray(path: str) -> np.ndarray:
+    """uint8 grayscale — kept in the camera's native dtype: System uploads
+    it as-is (4x less link bandwidth than float32) and casts on device."""
     import cv2
 
     img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
     if img is None:
         raise FileNotFoundError(path)
-    return img.astype(np.float32)
+    return img
 
 
 def load_depth_tum(path: str, factor: float = 1.0 / 5000.0) -> np.ndarray:

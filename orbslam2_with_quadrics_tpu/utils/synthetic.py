@@ -434,6 +434,11 @@ def write_tum_sequence(
             "Camera.k1: 0.0\nCamera.k2: 0.0\n"
             "Camera.p1: 0.0\nCamera.p2: 0.0\nCamera.k3: 0.0\n"
             f"Camera.fps: {fps}\nCamera.RGB: 1\n"
+            # bf = fx * baseline: REQUIRED for rgbd/stereo — the close-point
+            # gate is depth < ThDepth*bf/fx (reference Tracking.cc:134-147,
+            # TUM1.yaml ships Camera.bf: 40.0); bf=0 silently spawns zero
+            # depth points at init and the system never tracks
+            f"Camera.bf: {0.15 * fx:.1f}\n"
             f"ORBextractor.nFeatures: {n_features}\n"
             "ORBextractor.scaleFactor: 1.2\nORBextractor.nLevels: 8\n"
             "ORBextractor.iniThFAST: 20\nORBextractor.minThFAST: 7\n"

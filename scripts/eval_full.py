@@ -130,6 +130,9 @@ def main():
                          "subset of the map for revisits to be loop-closure "
                          "events)")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--dump-traj", default=None,
+                    help="write est+gt camera centers per frame (npz) for "
+                         "offline drift analysis")
     ap.add_argument("--stereo-ref-ratio", type=float, default=0.75,
                     help="stereo/RGB-D thRefRatio (src/Tracking.cc:1021)")
     ap.add_argument("--max-kf-gap", type=int, default=30,
@@ -160,6 +163,7 @@ def main():
             n_features=args.features, n_levels=args.levels,
         ),
         sensor=args.sensor,
+        depth_factor=1.0 / 5000.0,  # uint16 depth counts -> meters
         max_frames_between_kf=args.max_kf_gap,  # reference mMaxFrames=fps
         kf_idle_frames=args.kf_idle_frames,
         kf_stereo_ref_ratio=args.stereo_ref_ratio,
@@ -202,16 +206,24 @@ def main():
             )
             K3 = np.array([[FX, 0, W / 2.0], [0, FX, H / 2.0], [0, 0, 1.0]])
         for i, (img, T_gt) in enumerate(stream):
+            # uint8 camera frames, as a real sensor delivers them — and a
+            # 4x smaller host->device upload (the tunnel's 1.2 MB float32
+            # frame cost ~49 ms; uint8 ~30 ms, measured r05)
+            img = np.clip(img, 0, 255).astype(np.uint8)
             aux = None
             if args.sensor == "stereo":
-                aux = synthetic.render_plane(
+                aux = np.clip(synthetic.render_plane(
                     tex, synthetic.stereo_right_pose(T_gt, args.baseline),
                     K3, H, W, plane_half=args.plane_half,
                     relief_tex=relief_tex, noise=args.noise,
                     noise_rng=noise_rng,
-                )
+                ), 0, 255).astype(np.uint8)
             elif args.sensor == "rgbd":
-                aux = synthetic.planar_depth(T_gt, K4np, H, W, relief=True)
+                # uint16 depth counts like the TUM sensor (5000/m)
+                aux = np.clip(
+                    synthetic.planar_depth(T_gt, K4np, H, W, relief=True)
+                    * 5000.0, 0, 65535,
+                ).astype(np.uint16)
             det = (
                 gt_detections(objs, T_gt, slam.cfg.frontend.K, H, W)
                 if objs else None
@@ -265,6 +277,9 @@ def main():
     ce = metrics.camera_centers_from_Tcw(est)
     cg = metrics.camera_centers_from_Tcw(gt)
     with_scale = args.sensor == "mono"
+    if args.dump_traj:
+        fids = np.asarray([fid for fid, _, _ in slam.full_trajectory()])
+        np.savez(args.dump_traj, est=ce, gt=cg, fids=fids)
     ate = metrics.ate_rmse(ce, cg, with_scale=with_scale)
     span = float(np.linalg.norm(cg.max(0) - cg.min(0)))
     # skip the compile-dominated head for the per-call stats
@@ -341,6 +356,7 @@ def main():
         "loop_closed_at_frames": loops_seen_at,
         "keyframes_live": int(np.asarray(slam.map.kf_valid).sum()),
         "keyframes_created": int(slam.n_kfs_created),
+        "keyframes_culled": int(slam.n_kfs_culled),
         "points_live": int(np.asarray(slam.map.pt_valid).sum()),
         "pool_final": [int(slam.map.kf_valid.shape[0]),
                        int(slam.map.pt_pos.shape[0])],

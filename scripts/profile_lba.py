@@ -55,32 +55,13 @@ def main():
     timed(jax.jit(lambda p: ba._build_system(p, h2, lam, cam_grid=cam_grid)[0]),
           prob, label="build_system (Hcc,Hpp-inv,Wcp)")
     loc_ids, ploc = jax.jit(
-        lambda p: ba._local_point_table(p, 8192))(prob)
+        lambda p: ba._local_point_table(p, 8192, cam_grid))(prob)
     jax.block_until_ready((loc_ids, ploc))
-    timed(jax.jit(lambda p: ba._local_point_table(p, 8192)[0]), prob,
+    timed(jax.jit(lambda p: ba._local_point_table(p, 8192, cam_grid)[0]), prob,
           label="local_point_table (unique)")
 
-    # the seg-scatter building V
-    def build_V(p, ploc):
-        L = 8192
-        _, _, Hpp_inv, _, Wcp, _ = ba._build_system(p, h2, lam, cam_grid=cam_grid)
-        seg = jnp.where(ploc < L, ploc * C + p.cam_idx, L * C)
-        V = jax.ops.segment_sum(Wcp, seg, num_segments=L * C + 1)[:-1]
-        return V.reshape(L, C, 6, 3)
-
-    V = timed(jax.jit(build_V), prob, ploc, label="V scatter (seg L*C)")
-
-    def s_cross(p, V):
-        L = 8192
-        _, _, Hpp_inv, _, _, _ = ba._build_system(p, h2, lam, cam_grid=cam_grid)
-        Hpi = Hpp_inv[jnp.clip(loc_ids, 0, P - 1)]
-        VH = jnp.einsum("pcij,pjk->pcik", V, Hpi)
-        return jnp.einsum("pcik,pdjk->cidj", VH, V)
-
-    timed(jax.jit(s_cross), prob, V, label="S_cross einsum")
-
     timed(jax.jit(lambda p: ba._dense_schur_step(
-        p, lam, h2, loc_ids, ploc, cam_grid)[1]), prob,
+        p, p.poses, p.points, lam, h2, loc_ids, ploc, cam_grid)[1]), prob,
           label="one full dense LM step")
 
     timed(jax.jit(lambda p: ba.ba_solve_dense(
@@ -137,7 +118,8 @@ def slope():
     # piece slopes inside fori_loop
     h2 = jnp.asarray(residuals.CHI2_STEREO)
     lam = jnp.asarray(1e-4)
-    loc_ids, ploc = jax.jit(lambda p: ba._local_point_table(p, 8192))(prob)
+    loc_ids, ploc = jax.jit(
+        lambda p: ba._local_point_table(p, 8192, cam_grid))(prob)
     jax.block_until_ready((loc_ids, ploc))
 
     def loopn(body, n):
@@ -152,17 +134,13 @@ def slope():
             p._replace(valid=p.valid + 0e-9 * i), h2)[5],
         "build_system": lambda p, i: ba._build_system(
             p._replace(valid=p.valid + 0e-9 * i), h2, lam, cam_grid=cam_grid)[0].sum(),
-        "V_scatter": lambda p, i: jax.ops.segment_sum(
-            ba._build_system(p._replace(valid=p.valid + 0e-9 * i), h2, lam,
-                             cam_grid=cam_grid)[4],
-            jnp.where(ploc < 8192, ploc * C + p.cam_idx, 8192 * C),
-            num_segments=8192 * C + 1)[:-1].sum(),
         "segsum_P_33": lambda p, i: jax.ops.segment_sum(
             jnp.ones((O, 3, 3)) + 0e-9 * i, p.pnt_idx, num_segments=P).sum(),
         "inv_P33": lambda p, i: jnp.linalg.inv(
             jnp.tile(jnp.eye(3) * (1 + 0e-9 * i), (P, 1, 1))).sum(),
         "unique_table": lambda p, i: ba._local_point_table(
-            p._replace(valid=p.valid + 0e-9 * i), 8192)[1].sum().astype(jnp.float32),
+            p._replace(valid=p.valid + 0e-9 * i), 8192, cam_grid,
+        )[1].sum().astype(jnp.float32),
     }
     for name, body in pieces.items():
         f1, f9 = loopn(body, 1), loopn(body, 9)
