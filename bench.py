@@ -42,6 +42,12 @@ PEAK_TFLOPS = {
     "TPU v5 lite": 197.0, "TPU v5e": 197.0, "TPU v5p": 459.0,
     "TPU v6 lite": 918.0, "TPU v6e": 918.0,
 }
+# peak HBM GB/s per chip (public spec sheets); for the roofline bound
+PEAK_HBM_GBPS = {
+    "TPU v2": 700.0, "TPU v3": 900.0, "TPU v4": 1200.0,
+    "TPU v5 lite": 819.0, "TPU v5e": 819.0, "TPU v5p": 2765.0,
+    "TPU v6 lite": 1640.0, "TPU v6e": 1640.0,
+}
 
 
 def _timed(fn, *args, reps=3):
@@ -248,11 +254,125 @@ def main():
 
     fps_amortized = 1.0 / (t_frame + t_map / KF_EVERY)
 
+    # ---- speed-of-light table (VERDICT r04 weak #4) ----
+    # per-stage DEVICE time via scan-length slope (two scan lengths; the
+    # host->device dispatch/tunnel round-trip cancels in the difference),
+    # with analytic FLOPs/bytes from XLA's compiled cost_analysis and the
+    # roofline bound max(flops/peak_flops, bytes/peak_bw). Stage bodies
+    # cycle over 8 distinct images — a loop-invariant image lets XLA
+    # hoist stage work out of the scan and the slope reads ~0.
+    _prog("speed-of-light table")
+    kind = jax.devices()[0].device_kind
+    peak_tf = next((v for k, v in PEAK_TFLOPS.items() if k in kind), None)
+    peak_bw = next((v for k, v in PEAK_HBM_GBPS.items() if k in kind), None)
+    imgs8 = jnp.stack([img + 0.37 * i for i in range(8)])
+
+    def _slope_time(body, lens=(20, 120)):
+        def seq(x0, n):
+            def b(c, i):
+                return body(imgs8[i % 8], c), jnp.float32(0)
+
+            c, _ = jax.lax.scan(b, x0, jnp.arange(n, dtype=jnp.int32))
+            return c
+
+        walls = {}
+        costs = {}
+        for n in lens:
+            f = jax.jit(lambda x0, n=n: seq(x0, n))
+            costs[n] = (0.0, 0.0)
+            try:
+                ca = f.lower(jnp.float32(0)).compile().cost_analysis()
+                costs[n] = (
+                    float(ca.get("flops", 0.0) or 0.0),
+                    float(ca.get("bytes accessed", 0.0) or 0.0),
+                )
+            except Exception:
+                pass
+            np.asarray(f(jnp.float32(0)))
+            best = 1e9
+            for _ in range(2):
+                t0 = time.perf_counter()
+                np.asarray(f(jnp.float32(0)))
+                best = min(best, time.perf_counter() - t0)
+            walls[n] = best
+        n0, n1 = lens
+        dt = (walls[n1] - walls[n0]) / (n1 - n0)
+        fl = (costs[n1][0] - costs[n0][0]) / (n1 - n0)
+        by = (costs[n1][1] - costs[n0][1]) / (n1 - n0)
+        return dt, fl, by
+
+    def _dep(x):
+        return jnp.mod(jnp.float32(x), 3.0) * 1e-5
+
+    def _b_extract(im, c):
+        f = fe.extract_mono(cfg, im + c)
+        return c + _dep(
+            jnp.sum(f.desc.astype(jnp.float32)) + jnp.sum(f.uv)
+            + jnp.sum(f.angle)
+        )
+
+    def _b_frame(im, c):
+        f = fe.extract_mono(cfg, im + c)
+        res = tr.track_frame(
+            m, f, T + c * 1e-6, prev_obs, cfg.K, jnp.asarray(0.0),
+            height=H, width=W, n_levels=NLEV, n_local_kf=NKF,
+            n_local_pt=4096, obs_A=obs_A,
+        )
+        return c + _dep(jnp.sum(res.T_cw))
+
+    # analytic per-frame FLOPs/bytes (used when the backend exposes no
+    # cost_analysis, e.g. through the TPU tunnel). Model, TUM workload
+    # (480x640, 1024 feats, 8 levels):
+    #  extract: pyramid ~1.0 Mpx bilinear (4 MFLOP, 8 MB) + FAST bf16
+    #    [16,h,w] roll-stack ~6 passes (96 MFLOP, ~190 MB) + NMS/top-k
+    #    (~32 MB) + patch one-hot MXU selection (~6 GFLOP f32, ~40 MB) +
+    #    in-patch blur/BRIEF one-hot (~1 GFLOP, ~130 MB)
+    #  tracking: bit-matmul Hamming [1024,256]x[256,1024] (0.27 GFLOP) +
+    #    ~20 [1024,1024] mask/reduce passes (~80 MB) + 26 sequential LM
+    #    iterations whose bound is LATENCY (~26 x ~15 us minimum step),
+    #    not the roofline
+    _ANALYTIC = {
+        "extract": (7.1e9, 400e6),
+        "frame": (7.1e9 + 0.5e9, 400e6 + 120e6),
+    }
+    sol = {}
+    for name, body in (("extract", _b_extract), ("frame", _b_frame)):
+        dt_s, fl_s, by_s = _slope_time(body)
+        basis = "xla_cost_analysis"
+        if not fl_s:
+            fl_s, by_s = _ANALYTIC[name]
+            basis = "analytic_model"
+        bound_flops = fl_s / (peak_tf * 1e12) if peak_tf else None
+        bound_bw = by_s / (peak_bw * 1e9) if peak_bw else None
+        bound = max(bound_flops or 0.0, bound_bw or 0.0) or None
+        sol[name] = {
+            "device_ms": round(dt_s * 1e3, 3),
+            "gflops": round(fl_s / 1e9, 2),
+            "mbytes": round(by_s / 1e6, 1),
+            "cost_basis": basis,
+            "sol_ms": round(bound * 1e3, 4) if bound else None,
+            "sol_bound": (
+                "bandwidth" if (bound_bw or 0) >= (bound_flops or 0)
+                else "compute"
+            ),
+            "pct_of_sol": (
+                round(100.0 * bound / dt_s, 1) if bound and dt_s > 0 else None
+            ),
+        }
+    sol["tracking_minus_extract_ms"] = round(
+        (sol["frame"]["device_ms"] - sol["extract"]["device_ms"]), 3
+    )
+    sol["note"] = (
+        "device_ms from scan-length slope (dispatch excluded); sol_ms = "
+        "max(flops/peak_bf16, bytes/peak_hbm); pose-opt's 26 sequential "
+        "LM steps are latency-bound, so 'frame' sits structurally above "
+        "its roofline bound"
+    )
+
     _prog("cost analysis")
     # ---- MFU estimate for the tracking step ----
     achieved_tflops = (scan_flops / dt) / 1e12 if scan_flops else None
-    kind = jax.devices()[0].device_kind
-    peak = next((v for k, v in PEAK_TFLOPS.items() if k in kind), None)
+    peak = peak_tf
     mfu = (
         round(achieved_tflops / peak, 4)
         if achieved_tflops is not None and peak
@@ -288,6 +408,7 @@ def main():
                 "tracking_achieved_tflops": (
                     round(achieved_tflops, 3) if achieved_tflops else None
                 ),
+                "speed_of_light": sol,
                 "device_kind": kind,
                 "mfu_estimate": mfu,
                 "platform": jax.default_backend(),

@@ -576,6 +576,20 @@ class LoopCloser:
         return self.finish_detect(self.prepare_detect(m, slot, n_live))
 
     def _detect_host(self, slot: int, W, scores, common) -> list[int]:
+        import os as _os
+
+        dbg = _os.environ.get("ORB_DEBUG_LOOPS")
+        if dbg:
+            import sys as _sys
+
+            def _log(msg):
+                print(f"[detect] slot={slot} {msg}", file=_sys.stderr,
+                      flush=True)
+        else:
+            _log = lambda msg: None
+        return self._detect_host_inner(slot, W, scores, common, _log)
+
+    def _detect_host_inner(self, slot, W, scores, common, _log):
         # the reference's covisible set is the *connected graph* (weight
         # >= 15, KeyFrame::UpdateConnections src/KeyFrame.cc:295-385) —
         # weakly re-observed places must stay eligible as loop candidates
@@ -596,12 +610,15 @@ class LoopCloser:
             & (scores >= max(min_score, 0.0))
         )
         if not cand_mask.any():
+            _log(f"no candidates above min_score={min_score:.3f} "
+                 f"(covis={int(covis.sum())})")
             self.consistency = []
             return []
         max_common = common[cand_mask].max()
         cand_mask &= common > 0.8 * max_common
         cands = np.where(cand_mask)[0]
         if len(cands) == 0:
+            _log("all candidates below 0.8*max_common")
             self.consistency = []
             return []
 
@@ -615,6 +632,7 @@ class LoopCloser:
             sorted(_accumulate_covis_groups(scores, cands, W)), dtype=np.int64
         )
         if len(cands) == 0:
+            _log("group accumulation emptied the candidate set")
             self.consistency = []
             return []
 
@@ -630,6 +648,8 @@ class LoopCloser:
             new_groups.append((group, best))
             if best >= self.covis_th:
                 consistent_enough.append(int(c))
+        _log(f"cands={[int(c) for c in cands]} consistency="
+             f"{[b for _, b in new_groups]} -> {consistent_enough}")
         self.consistency = new_groups
         return consistent_enough
 

@@ -134,6 +134,7 @@ class System:
         self.ref_kf = 0
         self.n_kfs_created = 0
         self.n_kfs_culled = 0  # fast-path cull counter (churn metric)
+        self.n_reloc_corrections = 0  # reloc-triggered loop corrections
         self._debug_kf = os.environ.get("ORB_DEBUG_KF", "") == "1"
         _, _, self._inv_sigma2 = orb.scale_factors(
             cfg.frontend.n_levels, cfg.frontend.scale_factor
@@ -1445,11 +1446,95 @@ class System:
                 obs_A=self._get_obs_A(),
             )
             if int(res.n_inliers) >= 50:
+                T_drift = self.T_cw  # stale prediction in the DRIFTED frame
                 self.T_cw = res.T_cw
                 self.prev_obs = res.obs_point
                 self.velocity = lie.se3_identity()
+                self._reloc_loop_correction(cand, T_drift, res.T_cw)
                 return True
         return False
+
+    def _reloc_loop_correction(self, cand: int, T_drift, T_new):
+        """Treat a relocalization after tracking loss as the loop-closure
+        event it topologically is: the jump between the drifted
+        prediction ``T_drift`` and the relocalized pose ``T_new`` IS the
+        Sim3 correction CorrectLoop would have applied had DetectLoop
+        fired before tracking broke down. Bends the drifted keyframe
+        chain (anchored at the pre-loss reference keyframe) onto the
+        revisited map with the existing essential-graph machinery.
+
+        Deviation from the reference (documented): ORB-SLAM2 relocalizes
+        and simply continues (src/Tracking.cc:1341-1502), leaving the
+        pre-loss drifted segment permanently inconsistent — on
+        out-and-back motion this leaves O(10%) of-span ATE in the
+        interior that no later loop closure can repair (measured:
+        EVAL r05 diagnostic, 13.7 % ATE with tracking loss at the
+        drift peak). The correction below reuses CorrectLoop's exact
+        pipeline (src/LoopClosing.cc:402-585) with the reloc pair as
+        the loop pair."""
+        lcs = self.loop_closer
+        if lcs is None:
+            return
+        slot = self.ref_kf  # drifted frontier keyframe
+        if slot == cand:
+            return
+        # significance gate: centers differ by > 2 cm or rotation > 1 deg
+        c_d = -np.asarray(
+            lie.quat_rotate(lie.quat_conj(T_drift[:4]), T_drift[4:7])
+        )
+        c_n = -np.asarray(
+            lie.quat_rotate(lie.quat_conj(T_new[:4]), T_new[4:7])
+        )
+        dq = float(np.abs(np.sum(np.asarray(T_drift[:4]) * np.asarray(T_new[:4]))))
+        jump = float(np.linalg.norm(c_d - c_n))
+        if jump < 0.02 and dq > np.cos(np.deg2rad(1.0) / 2):
+            return
+        cfg = self.cfg
+        T_slot = self.map.kf_pose[slot]
+        # corrected pose of the drifted frontier:
+        # T_slot_corr = (T_slot o T_drift^-1) o T_new
+        S_corr = lie.sim3_from_se3(
+            lie.se3_compose(
+                lie.se3_compose(T_slot, lie.se3_inverse(T_drift)), T_new
+            )
+        )
+        if self._debug_kf or os.environ.get("ORB_DEBUG_LOOPS"):
+            import sys as _sys
+
+            print(
+                f"[reloc-loop] slot={slot} cand={cand} jump={jump:.3f}",
+                file=_sys.stderr, flush=True,
+            )
+        from . import loop_closing as lc
+
+        self.map = lcs._correct_graph(self.map, slot, cand, S_corr)
+        loop_ids = lc.gather_loop_points(self.map, np.int32(cand))
+        self.map, _ = lc.fuse_loop_points(
+            self.map, jnp.asarray(slot, jnp.int32), loop_ids,
+            cfg.frontend.K, n_levels=cfg.frontend.n_levels,
+            scale=cfg.frontend.scale_factor,
+            height=cfg.frontend.height, width=cfg.frontend.width,
+        )
+        lcs.loop_edges.append((int(slot), int(cand)))
+        lcs.last_loop_kf = max(int(slot), int(cand))
+        self.n_loops_closed += 1
+        self.n_reloc_corrections += 1
+        self._big_change_idx += 1
+        # a keyframe insertion pending across this surgery would land a
+        # drifted-frame pose in the corrected map — abort it (the same
+        # generation guard that protects against reset, ADVICE r04)
+        self._reset_gen += 1
+        self._ref_anchor = None
+        self._n_ref_cache = None
+        # the relocalized pose itself is already in the (fixed) old-map
+        # frame: cand is the essential graph's gauge, so T_new stays valid
+        if cfg.async_gba:
+            self._launch_global_ba(slot)
+        else:
+            self.map, _ = lm.run_global_ba(
+                self.map, cfg.frontend.K, jnp.asarray(cfg.frontend.bf),
+                self._inv_sigma2, n_iters=10,
+            )
 
     # ------------------------------------------------------------------
     # initialization

@@ -353,6 +353,7 @@ def main():
         "trajectory_span": span,
         "frames_tracked": len(est),
         "n_loops_closed": int(slam.n_loops_closed),
+        "n_reloc_corrections": int(slam.n_reloc_corrections),
         "loop_closed_at_frames": loops_seen_at,
         "keyframes_live": int(np.asarray(slam.map.kf_valid).sum()),
         "keyframes_created": int(slam.n_kfs_created),
