@@ -674,11 +674,17 @@ class LoopCloser:
             fix_scale=fix_scale,
         )
         g = np.asarray(gates)
+        import os as _os
         # [n_pairs, n_ransac_inl, n_lm_inl, n_total] — the reference's
         # staged >=20 / >=20 / >=20 / >=40 gates (LoopClosing.cc:262-385)
         if g[0] < 20 or g[1] < 20 or g[2] < 20 or g[3] < 40:
+            if _os.environ.get("ORB_DEBUG_LOOPS"):
+                import sys as _sys
+                print(
+                    f"[loop-rej] slot={slot} cand={cand} gates={g.tolist()}",
+                    file=_sys.stderr, flush=True,
+                )
             return m, False
-        import os as _os
         if _os.environ.get("ORB_DEBUG_LOOPS"):
             import sys as _sys
             s_scale = float(np.asarray(S_cur_w_corr)[7]) if np.asarray(

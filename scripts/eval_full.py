@@ -279,7 +279,10 @@ def main():
     with_scale = args.sensor == "mono"
     if args.dump_traj:
         fids = np.asarray([fid for fid, _, _ in slam.full_trajectory()])
-        np.savez(args.dump_traj, est=ce, gt=cg, fids=fids)
+        inl = np.asarray(
+            [m.get("inliers", -1) for m in slam.metrics], np.int32
+        )
+        np.savez(args.dump_traj, est=ce, gt=cg, fids=fids, inliers=inl)
     ate = metrics.ate_rmse(ce, cg, with_scale=with_scale)
     span = float(np.linalg.norm(cg.max(0) - cg.min(0)))
     # skip the compile-dominated head for the per-call stats
