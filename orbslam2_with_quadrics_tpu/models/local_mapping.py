@@ -173,13 +173,24 @@ def create_new_points(
 @jax.jit
 def cull_points(m: ms.MapState):
     """MapPointCulling (src/LocalMapping.cc:170-205): drop points with a
-    poor found/visible ratio or too few observations soon after creation."""
+    poor found/visible ratio or too few observations soon after creation.
+
+    BOTH tests apply only to RECENTLY created points: the reference
+    iterates mlpRecentAddedMapPoints and ERASES a point from that list
+    once it survives ~3 keyframes — a mature point is never found-ratio
+    culled again. An unbounded ratio cull (the pre-r05 behavior) eats the
+    old map exactly when a trajectory revisits it: every mature point
+    that drifts outside the projection-match radius stays in-frustum
+    (visible++ with found stagnant), collapses its ratio, and is deleted
+    — measured on the out-and-back eval as inliers decaying 200 -> 59
+    along the return leg until tracking was lost."""
     obs_cnt = ms.point_obs_count(m)
     age = m.n_kf - 1 - m.pt_first_kf  # keyframes since creation
     ratio = m.pt_found.astype(jnp.float32) / jnp.maximum(
         m.pt_visible.astype(jnp.float32), 1.0
     )
-    bad = (ratio < 0.25) & (m.pt_visible > 3)
+    recent = age <= 4
+    bad = recent & (ratio < 0.25) & (m.pt_visible > 3)
     bad = bad | ((age >= 2) & (age <= 4) & (obs_cnt <= 2))
     valid = m.pt_valid & ~bad
     # detach culled points from keyframes

@@ -556,7 +556,8 @@ class System:
             return
         self.state = self.OK
         self.metrics.append(
-            {"frame": p["frame_id"] + 1, "inliers": n_inl, "lost": False}
+            {"frame": p["frame_id"] + 1, "inliers": n_inl,
+             "matches": int(s[1]), "lost": False}
         )
         self.trajectory.append(
             (p["frame_id"], p["ts"], p["ref_kf"], s[11:18].astype(np.float32))

@@ -282,7 +282,11 @@ def main():
         inl = np.asarray(
             [m.get("inliers", -1) for m in slam.metrics], np.int32
         )
-        np.savez(args.dump_traj, est=ce, gt=cg, fids=fids, inliers=inl)
+        mat = np.asarray(
+            [m.get("matches", -1) for m in slam.metrics], np.int32
+        )
+        np.savez(args.dump_traj, est=ce, gt=cg, fids=fids, inliers=inl,
+                 matches=mat)
     ate = metrics.ate_rmse(ce, cg, with_scale=with_scale)
     span = float(np.linalg.norm(cg.max(0) - cg.min(0)))
     # skip the compile-dominated head for the per-call stats
