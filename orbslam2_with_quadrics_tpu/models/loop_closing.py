@@ -321,10 +321,20 @@ def _sim3_geometry(
     P = m.pt_pos.shape[0]
     _, sigma2_tab, _ = orb.scale_factors(n_levels, scale)
 
-    # 1. BoW matching between the two keyframes (>=20, LoopClosing.cc:262-270)
-    mi, _ = vocab.match_by_words(
-        words[slot], m.kf_desc[slot], m.kf_kp_valid[slot],
-        words[cand], m.kf_desc[cand], m.kf_kp_valid[cand],
+    # 1. descriptor pairing between the two keyframes (>=20,
+    # LoopClosing.cc:262-270). The reference's SearchByBoW buckets
+    # candidate pairs by FeatureVector nodes FOUR LEVELS ABOVE the
+    # leaves (levelsup=4, src/Frame.cc:400 -> ~10^2 coarse buckets over
+    # ~10^3 features) — a CPU pruning heuristic that barely constrains
+    # the match. Exact leaf-word equality (the earlier implementation)
+    # is ~10^3x stricter and starved the >=20 gate on true loops
+    # (measured: 2-10 pairs where the corrected-projection expansion
+    # found 260 matches). On TPU the dense mutual-best Hamming matrix
+    # is the same cost as any bucketing, so pair densely.
+    mi, _ = matching.mutual_match(
+        m.kf_desc[slot], m.kf_kp_valid[slot],
+        m.kf_desc[cand], m.kf_kp_valid[cand],
+        th=matching.TH_LOW, ratio=0.75,
     )
     p_cur = m.kf_obs_point[slot]
     p_cnd = m.kf_obs_point[cand, jnp.clip(mi, 0, N - 1)]

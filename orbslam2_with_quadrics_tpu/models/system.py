@@ -320,6 +320,127 @@ class System:
         self._last_big_change_idx = self._big_change_idx
         return changed
 
+    def warmup(self, verbose: bool = False):
+        """Precompile every jitted program the steady-state pipeline can
+        dispatch, against the CURRENT pool shapes. XLA compiles lazily at
+        first call; through a TPU tunnel each first-touch compile stalls
+        the frame loop 30-200 s (the persistent compile cache does not
+        apply to remote backends), so a camera-rate deployment compiles
+        everything up front — the analogue of the reference spending ~10 s
+        loading ORBvoc.txt before tracking starts (src/System.cc:64-71).
+        Pure warm-up: all calls run on dummy inputs and are discarded."""
+        import time as _time
+
+        cfg = self.cfg
+        fcfg = cfg.frontend
+        m = self.map
+        K, N = m.kf_obs_point.shape
+        t0 = _time.time()
+
+        def log(name):
+            if verbose:
+                import sys as _s
+
+                print(f"[warmup] {name} ({_time.time() - t0:.0f}s)",
+                      file=_s.stderr, flush=True)
+
+        zimg = jnp.zeros((fcfg.height, fcfg.width), jnp.uint8)
+        zaux = (
+            jnp.zeros((fcfg.height, fcfg.width), jnp.uint16)
+            if cfg.sensor == "rgbd" else zimg
+        )
+        obs_A = self._get_obs_A()
+        feats, *_rest = _frame_step(
+            m, obs_A, zimg, zaux, self.T_cw, self.velocity, self.prev_obs,
+            np.int32(0), self.map.kf_pose[0], fcfg, cfg.sensor,
+            cfg.min_inliers_track, min(cfg.n_local_kf, cfg.map.max_keyframes),
+            min(cfg.n_local_pt, cfg.map.max_points), cfg.depth_factor,
+        )
+        log("frame_step")
+        if cfg.sensor == "mono":
+            # the init path extracts at 2x features (sync path)
+            fe.extract_mono(self._init_frontend(), jnp.zeros(
+                (fcfg.height, fcfg.width), jnp.uint8))
+        m2, aux = _insert_and_map(
+            m, feats, self.T_cw, np.int32(0), np.int32(0),
+            jnp.full((cfg.map.n_features,), -1, jnp.int32),
+            np.zeros((K,), bool), self._inv_sigma2, fcfg, cfg.sensor,
+            cfg.local_ba_window,
+        )
+        del m2, aux
+        log("insert_and_map")
+        lm.run_global_ba(
+            m, fcfg.K, jnp.asarray(fcfg.bf), self._inv_sigma2, n_iters=10
+        )
+        if cfg.sensor == "mono":
+            lm.run_global_ba(
+                m, fcfg.K, jnp.asarray(fcfg.bf), self._inv_sigma2, n_iters=20
+            )
+        log("global_ba")
+        lcs = self.loop_closer
+        if lcs is not None:
+            from . import loop_closing as lc
+
+            lcs.add_keyframe_from_map(m, 0)
+            if lcs.sparse:
+                lc._detect_prep_sparse(
+                    m, lcs.kf_wid, lcs.kf_wval, lcs.words, lcs.voc.idf,
+                    np.int32(0),
+                )
+            else:
+                lc._detect_prep_dense(
+                    m, lcs.bow, lcs.words, lcs.voc.idf, np.int32(0),
+                    lcs.voc.n_words,
+                )
+            log("detect_prep")
+            gates, S_corr, loop_ids = lc._sim3_geometry(
+                m, lcs.words, np.int32(0), np.int32(1), fcfg.K,
+                n_levels=fcfg.n_levels, scale=fcfg.scale_factor,
+                height=fcfg.height, width=fcfg.width,
+                fix_scale=cfg.sensor != "mono",
+            )
+            log("sim3_geometry")
+            for E in (64, 128, 256):
+                ei = jnp.zeros((E,), jnp.int32)
+                w = jnp.zeros((E,), jnp.float32)
+                S_old, S_init, meas = lc._graph_arrays(
+                    m, np.int32(0), np.int32(1), S_corr,
+                    jnp.zeros((K,), bool), ei, ei,
+                    jnp.zeros((E,), bool),
+                )
+                from ..ops import pose_graph as pg
+
+                pg.optimize_pose_graph(
+                    S_init, ei, ei, meas, w,
+                    jnp.zeros((K,), jnp.float32),
+                )
+            lc._apply_graph(m, S_old, S_init)
+            lc.gather_loop_points(m, np.int32(0))
+            lc.fuse_loop_points(
+                m, jnp.asarray(0, jnp.int32), loop_ids, fcfg.K,
+                n_levels=fcfg.n_levels, scale=fcfg.scale_factor,
+                height=fcfg.height, width=fcfg.width,
+            )
+            log("graph+fuse")
+            # relocalization path
+            from ..ops import pnp, vocab as vocab_mod
+
+            word, _ = vocab_mod.transform_any(lcs.voc, feats.desc, feats.valid)
+            matching.mutual_match(
+                feats.desc, feats.valid, m.kf_desc[0], m.kf_kp_valid[0],
+                th=matching.TH_LOW, ratio=0.75,
+            )
+            pnp.ransac_pnp(
+                m.pt_pos[:cfg.map.n_features], feats.uv_und,
+                jnp.zeros((cfg.map.n_features,), bool), fcfg.K,
+                self._inv_sigma2[
+                    jnp.clip(feats.level, 0, self._inv_sigma2.shape[0] - 1)
+                ],
+            )
+            log("reloc")
+        jax.block_until_ready(self.map.kf_pose)
+        log("done")
+
     def shutdown(self):
         """Flush all in-flight work (System::Shutdown joins the worker
         threads and spin-waits on isRunningGBA, src/System.cc:301-320; here
@@ -1413,10 +1534,15 @@ class System:
         word, _ = vocab_mod.transform_any(lcs.voc, feats.desc, feats.valid)
         P = self.map.pt_pos.shape[0]
         for cand in lcs.detect_reloc_candidates(self.map, word):
-            mi, _ = vocab_mod.match_by_words(
-                word, feats.desc, feats.valid,
-                lcs.words[cand], self.map.kf_desc[cand],
-                self.map.kf_kp_valid[cand],
+            # dense mutual-best pairing instead of exact leaf-word
+            # bucketing: the reference's SearchByBoW buckets at
+            # FeatureVector nodes 4 levels up (~10^2 buckets — barely a
+            # constraint); exact-leaf equality starved the >=15 gate on
+            # genuine revisits (see loop_closing._sim3_geometry)
+            mi, _ = matching.mutual_match(
+                feats.desc, feats.valid,
+                self.map.kf_desc[cand], self.map.kf_kp_valid[cand],
+                th=matching.TH_LOW, ratio=0.75,
             )
             pt = self.map.kf_obs_point[cand, jnp.clip(mi, 0, mi.shape[0] - 1)]
             ok = (mi >= 0) & (pt >= 0)
