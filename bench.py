@@ -243,7 +243,7 @@ def main():
     protect = np.zeros((NKF,), bool)
 
     def map_pipeline(m):
-        m2, aux = sysm._insert_and_map(
+        m2, aux, _red = sysm._insert_and_map(
             m, bench_feats, lie.se3_identity(), np.int32(100), np.int32(2),
             jnp.full((NFEAT,), -1, jnp.int32), protect, inv_sigma2,
             cfg, "mono", 16,

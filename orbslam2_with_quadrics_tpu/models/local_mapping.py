@@ -452,15 +452,7 @@ def cull_keyframes(m: ms.MapState, kf_id, protect=None, W=None,
     has = (obs >= 0) & m.kf_kp_valid & m.kf_valid[:, None]
     # per-(point, level) observation histogram -> cumulative over level:
     # cum[p, l] = #observations of p at octave <= l (any keyframe)
-    flat_p = jnp.where(has, obs, P).reshape(-1)
-    lvl_flat = jnp.clip(m.kf_level, 0, n_levels - 1).reshape(-1)
-    hist = jax.ops.segment_sum(
-        jax.nn.one_hot(lvl_flat, n_levels, dtype=jnp.float32)
-        * has.reshape(-1)[:, None],
-        flat_p,
-        num_segments=P + 1,
-    )[:P]
-    cum = jnp.cumsum(hist, axis=1)  # [P, n_levels]
+    cum = ms.obs_level_cum(m, n_levels)  # [P, n_levels]
     # for this KF's observation at octave l: others at octave <= l+1
     lvl_self = jnp.clip(m.kf_level, 0, n_levels - 1)
     lvl_gate = jnp.minimum(lvl_self + 1, n_levels - 1)

@@ -145,6 +145,27 @@ def point_obs_count(m: MapState):
     )[:P]
 
 
+def obs_level_cum(m: MapState, n_levels: int):
+    """[P, n_levels] cum[p, l] = #keyframe observations of point p at
+    octave <= l — the KeyFrameCulling same-or-finer-scale redundancy
+    histogram (src/LocalMapping.cc:661-668) factored out so the
+    frame-rate redundancy gate (System._need_kf_fast) and the cull share
+    one implementation. float32 so downstream gathers feed comparisons
+    without casts."""
+    P = m.pt_pos.shape[0]
+    obs = m.kf_obs_point
+    has = (obs >= 0) & m.kf_kp_valid & m.kf_valid[:, None]
+    flat_p = jnp.where(has, obs, P).reshape(-1)
+    lvl_flat = jnp.clip(m.kf_level, 0, n_levels - 1).reshape(-1)
+    hist = jax.ops.segment_sum(
+        jax.nn.one_hot(lvl_flat, n_levels, dtype=jnp.float32)
+        * has.reshape(-1)[:, None],
+        flat_p,
+        num_segments=P + 1,
+    )[:P]
+    return jnp.cumsum(hist, axis=1)
+
+
 # ---------------------------------------------------------------------------
 # insertion / mutation (all pure: return a new MapState)
 # ---------------------------------------------------------------------------

@@ -51,6 +51,32 @@ class SystemConfig:
                                     # where inliers decay slowly)
     kf_close_tracked_th: int = 100  # bNeedToInsertClose: tracked close pts
     kf_close_untracked_th: int = 70 # below/above these -> insert
+    kf_redundancy_th: float = 0.9   # skip c1b insertion when >= this
+                                    # fraction of the frame's tracked
+                                    # points already meet the
+                                    # KeyFrameCulling criterion (>=3 obs
+                                    # at same-or-finer octave,
+                                    # src/LocalMapping.cc:661-668) — the
+                                    # cull's 90% rule applied BEFORE
+                                    # paying for insertion. Deliberate
+                                    # deviation from the reference, which
+                                    # inserts and then culls (r04: 361
+                                    # created / 10 live on revisit-heavy
+                                    # motion); 1.0 disables the gate.
+                                    # Never overrides c1a (the forced
+                                    # mMaxFrames cadence): loop detection
+                                    # is keyframe-triggered, so mature
+                                    # stretches must still emit keyframes
+    kf_strong_inl: int = 100        # the veto needs tracking to be strong
+                                    # in ABSOLUTE terms. When tracking
+                                    # degrades, young points fail to
+                                    # match first, so the survivors are
+                                    # the mature ones and the redundancy
+                                    # ratio RISES exactly when insertion
+                                    # is most needed (measured: veto at
+                                    # n_inl 55/red 0.94 where the ungated
+                                    # system inserted and recovered —
+                                    # the gated run went LOST for good)
                                     # (src/Tracking.cc:1016; the constants
                                     # assume ~2000-feature frames — scale
                                     # down for smaller feature budgets)
@@ -226,6 +252,10 @@ class System:
         self._extra_obs_holders = []     # frames whose obs need id remaps
         self._ref_anchor = None    # ref KF pose as the track chain saw it
                                    # (the _frame_step re-anchor input)
+        self._red_cum = None       # [P, L] per-point obs-level histogram
+                                   # (None = recompute lazily from the map;
+                                   # invalidated whenever the observation
+                                   # table mutates outside _insert_and_map)
 
     def _init_frontend(self):
         """2x-feature extractor config used only while NOT_INITIALIZED
@@ -352,7 +382,9 @@ class System:
         obs_A = self._get_obs_A()
         feats, *_rest = _frame_step(
             m, obs_A, zimg, zaux, self.T_cw, self.velocity, self.prev_obs,
-            np.int32(0), self.map.kf_pose[0], fcfg, cfg.sensor,
+            np.int32(0), self.map.kf_pose[0],
+            jnp.zeros((m.pt_pos.shape[0], fcfg.n_levels), jnp.float32),
+            fcfg, cfg.sensor,
             cfg.min_inliers_track, min(cfg.n_local_kf, cfg.map.max_keyframes),
             min(cfg.n_local_pt, cfg.map.max_points), cfg.depth_factor,
         )
@@ -361,13 +393,13 @@ class System:
             # the init path extracts at 2x features (sync path)
             fe.extract_mono(self._init_frontend(), jnp.zeros(
                 (fcfg.height, fcfg.width), jnp.uint8))
-        m2, aux = _insert_and_map(
+        m2, aux, _red = _insert_and_map(
             m, feats, self.T_cw, np.int32(0), np.int32(0),
             jnp.full((cfg.map.n_features,), -1, jnp.int32),
             np.zeros((K,), bool), self._inv_sigma2, fcfg, cfg.sensor,
             cfg.local_ba_window,
         )
-        del m2, aux
+        del m2, aux, _red
         log("insert_and_map")
         lm.run_global_ba(
             m, fcfg.K, jnp.asarray(fcfg.bf), self._inv_sigma2, n_iters=10
@@ -486,6 +518,7 @@ class System:
         self.T_cw = lie.se3_identity()
         self.prev_obs = jnp.full((cfg.map.n_features,), -1, jnp.int32)
         self.init_feats = None
+        self._red_cum = None
         self.ref_kf = 0
         self.ref_kf_matches = 0
         self.last_kf_frame = -999
@@ -618,6 +651,10 @@ class System:
         self._apply_gba_if_ready()
         if self._ref_anchor is None:
             self._ref_anchor = self.map.kf_pose[self.ref_kf]
+        if self._red_cum is None:
+            self._red_cum = _obs_level_cum_jit(
+                self.map, cfg.frontend.n_levels
+            )
         (feats, T_new, vel_new, obs_new, pt_vis, pt_fnd, stats,
          anchor_new) = _frame_step(
             self.map,
@@ -629,6 +666,7 @@ class System:
             self.prev_obs,
             np.int32(self.ref_kf),
             self._ref_anchor,
+            self._red_cum,
             cfg.frontend,
             cfg.sensor,
             cfg.min_inliers_track,
@@ -822,14 +860,36 @@ class System:
         # deviation from src/Tracking.cc:1045.
         if c1a and n_inl > cfg.min_inliers_kf:
             c2 = True
+        # redundancy veto: on feature-rich scenes n_inl settles at
+        # ~0.5*n_ref (matcher recall vs a mature reference keyframe), so
+        # the reference's 0.9 ratio test is permanently true and
+        # keyframes insert at the max cadence only to be culled one
+        # mapping pass later (r04: 361 created / 10 live; each churned
+        # KF costs a full mapping dispatch + DB/loop-prep work). Gate on
+        # what the cull will actually measure: the fraction of this
+        # frame's tracked points already covered >=3x at same-or-finer
+        # scale (device census, stats[18]). Fires ONLY while tracking is
+        # strong in absolute terms (>= kf_strong_inl inliers): during
+        # degradation the mature survivors dominate the tracked set and
+        # the ratio rises exactly when insertion is most needed. c1a and
+        # need_close always pass through.
+        n_red = int(s[18]) if len(s) > 18 else 0
+        redundancy = n_red / max(n_inl, 1)
+        if (
+            redundancy >= cfg.kf_redundancy_th
+            and not need_close
+            and not c1a
+            and n_inl >= cfg.kf_strong_inl
+        ):
+            c2 = False
         want = bool((c1a or c1b or c1c) and c2)
         if self._debug_kf and want:
             import sys as _sys
 
             print(
                 f"[kf] insert frame={p['frame_id']} since={since} "
-                f"n_inl={n_inl} n_ref={n_ref} c1a={c1a} c1b={c1b} "
-                f"c1c={c1c} need_close={need_close}",
+                f"n_inl={n_inl} n_ref={n_ref} red={redundancy:.2f} "
+                f"c1a={c1a} c1b={c1b} c1c={c1c} need_close={need_close}",
                 file=_sys.stderr, flush=True,
             )
         return want
@@ -882,7 +942,7 @@ class System:
         if self.state != self.OK or gen != self._reset_gen:
             return
         slot = self._n_kf_host
-        m2, aux = _insert_and_map(
+        m2, aux, red_cum = _insert_and_map(
             self.map,
             p["feats"],
             p["T"],
@@ -895,6 +955,7 @@ class System:
             cfg.sensor,
             cfg.local_ba_window,
         )
+        self._red_cum = red_cum
         try:
             aux.copy_to_host_async()
         except Exception:
@@ -951,6 +1012,9 @@ class System:
                 if ok:
                     self.n_loops_closed += 1
                     self._big_change_idx += 1
+                    # SearchAndFuse merged duplicate points: the
+                    # redundancy histogram must see the fused table
+                    self._red_cum = None
                     if cfg.async_gba:
                         self._launch_global_ba(pslot)
                     else:
@@ -969,6 +1033,7 @@ class System:
     def _refresh_host_counters(self):
         """Sync-path hook: keep the fast path's host mirrors exact after
         any synchronous map mutation (init, sync keyframe insert)."""
+        self._red_cum = None  # observation table changed: recompute lazily
         self._n_kf_host = int(self.map.n_kf)
         self._kf_live = int(np.asarray(self.map.kf_valid).sum())
         self._n_pt_est = int(self.map.n_pt)
@@ -1027,6 +1092,20 @@ class System:
         c2 = (
             n_inl < ratio * n_ref or need_close
         ) and n_inl > cfg.min_inliers_kf
+        # redundancy veto — same census as the fast path (see
+        # _need_kf_fast): skip views whose tracked points the map already
+        # covers >=3x at same-or-finer scale, only while tracking is
+        # strong and the forced c1a cadence has not elapsed
+        if c2 and not need_close and not c1a and n_inl >= cfg.kf_strong_inl:
+            if self._red_cum is None:
+                self._red_cum = _obs_level_cum_jit(
+                    self.map, cfg.frontend.n_levels
+                )
+            n_red, n_trk = _frame_redundancy(
+                self._red_cum, res.obs_point, feats.level
+            )
+            if int(n_red) / max(int(n_trk), 1) >= cfg.kf_redundancy_th:
+                c2 = False
         return bool((c1a or c1b or c1c) and c2)
 
     def _ref_kf_tracked(self, min_obs: int) -> int:
@@ -1098,6 +1177,9 @@ class System:
                 self.n_kf_growths += 1
                 if self.loop_closer is not None:
                     self.loop_closer.grow(2 * K)
+        # pool shape / point ids may have changed: the redundancy
+        # histogram is recomputed lazily from the (exact) new map
+        self._red_cum = None
 
     def _compact_keyframes(self):
         """Pack valid keyframes to the low end of the pool. Every
@@ -1653,6 +1735,7 @@ class System:
         self._reset_gen += 1
         self._ref_anchor = None
         self._n_ref_cache = None
+        self._red_cum = None  # fuse merged duplicates: histogram stale
         # the relocalized pose itself is already in the (fixed) old-map
         # frame: cand is the essential graph's gauge, so T_new stays valid
         if cfg.async_gba:
@@ -1950,6 +2033,22 @@ from functools import partial
 # eager calls of observation_matrix pay per-op tunnel dispatches; the
 # System rebuilds it at keyframe rate through this jit
 _observation_matrix_jit = jax.jit(ms.observation_matrix)
+_obs_level_cum_jit = jax.jit(ms.obs_level_cum, static_argnums=(1,))
+
+
+@jax.jit
+def _frame_redundancy(red_cum, obs, level):
+    """(n_redundant, n_tracked) of a frame's observation row against the
+    per-point obs-level histogram — the sync-path twin of _frame_step's
+    in-program census."""
+    P, L = red_cum.shape
+    lvl_gate = jnp.minimum(jnp.clip(level, 0, L - 1) + 1, L - 1)
+    n_oth = red_cum[jnp.clip(obs, 0, P - 1), lvl_gate]
+    tracked = obs >= 0
+    return (
+        jnp.sum(tracked & (n_oth >= 3.0)),
+        jnp.sum(tracked),
+    )
 
 
 @partial(
@@ -1967,6 +2066,7 @@ def _frame_step(
     prev_obs,
     ref_kf,
     ref_anchor,
+    red_cum,
     fcfg,
     sensor: str,
     min_inl: int,
@@ -1981,12 +2081,17 @@ def _frame_step(
     frame (Tracking::Track, src/Tracking.cc:267-506).
 
     Returns (feats, T_new, vel_new, obs_new, pt_visible, pt_found,
-    stats[18]) where stats packs every scalar the host needs:
+    stats[19]) where stats packs every scalar the host needs:
     [n_inliers, n_matches, n_close_tracked, n_close_nontracked,
-    T_new(7), T_rel(7)]. The host prefetches stats with
-    ``copy_to_host_async`` and reads them one frame later, so the
-    steady-state loop never blocks on the device (VERDICT r03 #2: the
-    previous host loop paid ~9 blocking scalar fetches per frame)."""
+    T_new(7), T_rel(7), n_redundant]. n_redundant counts tracked points
+    already observed >=3 times at the same-or-finer octave (gathered
+    from ``red_cum``, the keyframe-rate histogram produced by
+    _insert_and_map) — the KeyFrameCulling redundancy criterion
+    (src/LocalMapping.cc:661-668) measured per FRAME, so the keyframe
+    gate can skip views the map already covers. The host prefetches
+    stats with ``copy_to_host_async`` and reads them one frame later, so
+    the steady-state loop never blocks on the device (VERDICT r03 #2:
+    the previous host loop paid ~9 blocking scalar fetches per frame)."""
     if sensor == "mono":
         feats = fe.extract_mono(fcfg, img)
     elif sensor == "rgbd":
@@ -2039,6 +2144,16 @@ def _frame_step(
         n_tc = jnp.float32(0.0)
         n_nc = jnp.float32(0.0)
 
+    # frame redundancy census: tracked points whose map coverage already
+    # meets the cull criterion (>=3 observations at octave <= own+1).
+    # One [N] gather from the keyframe-rate histogram — free next to the
+    # matmuls above, unlike recomputing the [K*N]->[P,L] histogram here.
+    P = m.pt_pos.shape[0]
+    L = red_cum.shape[1]
+    lvl_gate = jnp.minimum(jnp.clip(feats.level, 0, L - 1) + 1, L - 1)
+    n_oth = red_cum[jnp.clip(obs_new, 0, P - 1), lvl_gate]
+    n_red = jnp.sum((obs_new >= 0) & (n_oth >= 3.0)).astype(jnp.float32)
+
     T_rel = lie.se3_compose(T_new, lie.se3_inverse(T_ref_now))
     stats = jnp.concatenate([
         jnp.stack([
@@ -2049,6 +2164,7 @@ def _frame_step(
         ]),
         T_new,
         T_rel,
+        n_red[None],
     ])
     return feats, T_new, vel_new, obs_new, pt_visible, pt_found, stats, T_ref_now
 
@@ -2151,7 +2267,14 @@ def _insert_and_map(
         jnp.sum(m.pt_valid).astype(jnp.float32),
         culled_slot.astype(jnp.float32),
     ])
-    return m, aux
+    # post-mapping per-(point, octave) observation histogram: consumed by
+    # _frame_step's redundancy census, which gates keyframe insertion on
+    # "does this view still add information" (the KeyFrameCulling 90%
+    # criterion applied BEFORE paying for insertion — r04's 361-created/
+    # 10-live churn was keyframes inserted at max cadence into mature map
+    # regions and culled one pipeline-pass later)
+    red_cum = ms.obs_level_cum(m, fcfg.n_levels)
+    return m, aux, red_cum
 
 
 @jax.jit

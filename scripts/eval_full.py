@@ -42,15 +42,27 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 import numpy as np
 
 
-def make_quadric_world(n_objects, plane_half, seed):
-    """Ground-truth ellipsoids resting on the z=0 plane."""
+def make_quadric_world(n_objects, plane_half, seed, motion="orbit_big"):
+    """Ground-truth ellipsoids resting on the z=0 plane.
+
+    Objects are placed ON the camera's ground track (the nadir view cone
+    at altitude 2.5 is only ~±1.5 world units wide, so randomly scattered
+    objects are almost never observed — r05's first quadric eval saw 0
+    of 4): for orbit motions they sit on the orbit circle, for
+    out_and_back on the outbound line, each with small lateral jitter."""
     rng = np.random.RandomState(seed + 555)
     objs = []
     for c in range(n_objects):
-        scale = rng.uniform(0.25, 0.6, 3)
+        scale = rng.uniform(0.3, 0.65, 3)
+        jx, jy = rng.uniform(-0.4, 0.4, 2)
+        if motion in ("orbit_big", "orbit_loop"):
+            R = 0.5 * plane_half if motion == "orbit_big" else 0.8
+            ang = 2 * np.pi * (c + 0.5) / n_objects
+            base = np.array([R * np.sin(ang), R * (1 - np.cos(ang))])
+        else:  # out_and_back and friends: along the outbound x line
+            base = np.array([plane_half * (c + 0.5) / n_objects, 0.0])
         center = np.array([
-            rng.uniform(-0.5, 0.5) * plane_half,
-            rng.uniform(-0.5, 0.5) * plane_half,
+            base[0] + jx, base[1] + jy,
             scale[2],  # resting on the plane (camera looks down +z world)
         ])
         objs.append({"class_id": c, "center": center, "scale": scale})
@@ -206,7 +218,8 @@ def main():
     )
     K4np = np.array([FX, FX, W / 2.0, H / 2.0])
     objs = (
-        make_quadric_world(args.n_objects, args.plane_half, args.seed)
+        make_quadric_world(args.n_objects, args.plane_half, args.seed,
+                           motion=args.motion)
         if args.quadrics else None
     )
 
@@ -258,6 +271,7 @@ def main():
     frame_times = []
     t_start = time.time()
     loops_seen_at = []
+    kf_at = []          # frame index of each keyframe insertion
     while True:
         item = q.get()
         if item is None:
@@ -265,6 +279,7 @@ def main():
         i, img, aux, T_gt, det = item
         poses_gt.append(T_gt)
         loops_before = slam.n_loops_closed
+        kfs_before = slam.n_kfs_created
         t0 = time.perf_counter()
         if args.sensor == "mono":
             slam.track_monocular(img, timestamp=i / 30.0, detections=det)
@@ -273,6 +288,8 @@ def main():
         else:
             slam.track_rgbd(img, aux, timestamp=i / 30.0, detections=det)
         frame_times.append(time.perf_counter() - t0)
+        if slam.n_kfs_created > kfs_before:
+            kf_at.append(i)
         if slam.n_loops_closed > loops_before:
             loops_seen_at.append(i)
         if i % args.progress_every == 0:
@@ -309,6 +326,30 @@ def main():
                  matches=mat)
     ate = metrics.ate_rmse(ce, cg, with_scale=with_scale)
     span = float(np.linalg.norm(cg.max(0) - cg.min(0)))
+    # ---- frame-time attribution: where does the mean go? ----
+    ftall = np.asarray(frame_times)
+    kf_mask = np.zeros(n_frames_run, bool)
+    kf_mask[[k for k in kf_at if k < n_frames_run]] = True
+    skip = min(60, n_frames_run // 4)
+    steady = np.arange(n_frames_run) >= skip
+    order = np.argsort(-ftall)[:15]
+    time_attrib = {
+        "kf_frames": int(kf_mask[steady].sum()),
+        "kf_frame_mean_ms": round(
+            1e3 * float(ftall[steady & kf_mask].mean()), 1
+        ) if (steady & kf_mask).any() else None,
+        "nonkf_frame_mean_ms": round(
+            1e3 * float(ftall[steady & ~kf_mask].mean()), 1
+        ) if (steady & ~kf_mask).any() else None,
+        "kf_share_of_time": round(
+            float(ftall[steady & kf_mask].sum() / ftall[steady].sum()), 3
+        ) if steady.any() else None,
+        "slowest_frames": [
+            {"frame": int(j), "ms": round(1e3 * float(ftall[j]), 1),
+             "kf": bool(kf_mask[j])}
+            for j in order
+        ],
+    }
     # skip the compile-dominated head for the per-call stats
     ft = np.asarray(frame_times[min(60, n_frames_run // 4):])
     # steady-state wall fps over the second half (compiles amortized out)
@@ -382,6 +423,7 @@ def main():
         "n_loops_closed": int(slam.n_loops_closed),
         "n_reloc_corrections": int(slam.n_reloc_corrections),
         "loop_closed_at_frames": loops_seen_at,
+        "kf_inserted_at_frames": [int(k) for k in kf_at],
         "keyframes_live": int(np.asarray(slam.map.kf_valid).sum()),
         "keyframes_created": int(slam.n_kfs_created),
         "keyframes_culled": int(slam.n_kfs_culled),
@@ -398,6 +440,7 @@ def main():
         "mean_tracking_ms": round(float(np.mean(ft)) * 1e3, 2),
         "p95_tracking_ms": round(float(np.percentile(ft, 95)) * 1e3, 2),
         "fps_end_to_end": round(n_frames_run / wall, 2),
+        "time_attribution": time_attrib,
         "fps_steady_state": round(fps_steady, 2),
         "wall_seconds": round(wall, 1),
         "warmup_seconds": round(t_warm, 1),
