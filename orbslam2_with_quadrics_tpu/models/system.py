@@ -51,6 +51,9 @@ class SystemConfig:
                                     # where inliers decay slowly)
     kf_close_tracked_th: int = 100  # bNeedToInsertClose: tracked close pts
     kf_close_untracked_th: int = 70 # below/above these -> insert
+                                    # (src/Tracking.cc:1016; the constants
+                                    # assume ~2000-feature frames — scale
+                                    # down for smaller feature budgets)
     kf_redundancy_th: float = 0.9   # skip c1b insertion when >= this
                                     # fraction of the frame's tracked
                                     # points already meet the
@@ -77,9 +80,6 @@ class SystemConfig:
                                     # n_inl 55/red 0.94 where the ungated
                                     # system inserted and recovered —
                                     # the gated run went LOST for good)
-                                    # (src/Tracking.cc:1016; the constants
-                                    # assume ~2000-feature frames — scale
-                                    # down for smaller feature budgets)
     min_inliers_track: int = 30
     min_inliers_kf: int = 15
     local_ba_window: int = 16
