@@ -97,9 +97,24 @@ class QuadricManager:
                 )
 
     def try_initialize(self, m: ms.MapState):
-        """SVD-init every landmark that has enough views + points."""
+        """SVD-init every landmark that has enough views + points.
+
+        Culled keyframes are dropped from each landmark's observation
+        list first: their pose rows are frozen at cull time and never
+        see later BA/loop corrections, so a fit over them mixes
+        reference frames and fails the ellipsoid validity gate (at full
+        scale ~70% of keyframes are culled — r05's first two quadric
+        evals initialized 0 landmarks through exactly this)."""
+        kf_valid = np.asarray(m.kf_valid)
+        K = len(kf_valid)
         n_new = 0
         for lm in self.landmarks:
+            kept = [
+                (s, b) for s, b in zip(lm.kf_slots, lm.bboxes)
+                if 0 <= s < K and kf_valid[s]
+            ]
+            lm.kf_slots = [s for s, _ in kept]
+            lm.bboxes = [b for _, b in kept]
             if lm.initialized:
                 continue
             if len(lm.kf_slots) < self.min_obs_init:

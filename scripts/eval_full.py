@@ -395,12 +395,18 @@ def main():
             })
         quad_metrics = {
             "landmarks_gt": len(objs),
+            "landmarks_total": len(slam.quadrics.landmarks),
             "landmarks_initialized": len(per_lm),
             "center_err_mean": (
                 round(float(np.mean([x["center_err"] for x in per_lm])), 4)
                 if per_lm else None
             ),
             "per_landmark": per_lm,
+            "uninitialized": [
+                {"class_id": lm.class_id, "n_views": len(lm.kf_slots),
+                 "n_points": len(lm.point_ids)}
+                for lm in slam.quadrics.landmarks if not lm.initialized
+            ],
         }
 
     result = {
